@@ -1,0 +1,139 @@
+"""Tile binning: (Gaussian, tile) pair expansion + sort, shared by backends.
+
+TPU-native replacement for the reference's CUB scan + duplicateWithKeys +
+radix-sort pipeline (rasterizer_impl.cu:253-432), with static shapes:
+
+ 1. depth-sort the Gaussians once (stable, invalid-to-back);
+ 2. exclusive-scan tiles_touched over the sorted order;
+ 3. *invert* the pair mapping: for each pair slot p in a fixed-capacity buffer,
+    find its Gaussian with searchsorted(offsets, p) and its k-th tile from the
+    rect row-major enumeration — no [N, max_tiles] blowup, no scatter;
+ 4. one stable int32 sort by tile id. Pairs are generated in depth order, so
+    stability gives per-tile depth order — the reference needed a packed
+    (tile, depth) 64-bit radix key for the same result;
+ 5. per-tile [start, end) ranges via searchsorted (identifyTileRanges).
+
+Capacity overflow (more real pairs than `pair_capacity`) drops the deepest
+pairs of the deepest Gaussians and reports the true count so callers can log
+or re-bin; the reference reallocates instead (static shapes forbid that here).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.projection import ProjectedGaussians
+from .common import TILE
+
+
+class BinnedPairs(NamedTuple):
+    order: jnp.ndarray        # [N] int32 gaussian index by depth rank
+    pair_gauss: jnp.ndarray   # [K] int32: sorted-order gaussian *rank* per pair
+    pair_tile: jnp.ndarray    # [K] int32 tile id per pair (T = sentinel/padding)
+    tile_start: jnp.ndarray   # [T] int32 start offset into the pair list
+    tile_count: jnp.ndarray   # [T] int32 number of pairs per tile
+    num_pairs: jnp.ndarray    # [] int32 true number of pairs (may exceed K)
+    grid: tuple               # (grid_x, grid_y) static
+
+
+def tile_grid(width: int, height: int) -> tuple:
+    return ((width + TILE - 1) // TILE, (height + TILE - 1) // TILE)
+
+
+def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
+                  pair_capacity: int) -> BinnedPairs:
+    """Build the depth-ordered per-tile pair list.
+
+    Args:
+      proj: projected gaussians (N of them).
+      pair_capacity: static pair-buffer size K.
+    """
+    grid_x, grid_y = tile_grid(width, height)
+    num_tiles = grid_x * grid_y
+    N = proj.depth.shape[0]
+    K = pair_capacity
+
+    sort_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
+
+    tiles_sorted = proj.tiles_touched[order].astype(jnp.int32)
+    offsets = jnp.cumsum(tiles_sorted)          # inclusive scan, [N]
+    total = offsets[-1]
+    excl = offsets - tiles_sorted               # exclusive scan
+
+    # pair slot -> (gaussian rank, k-th tile of its rect)
+    p = jnp.arange(K, dtype=jnp.int32)
+    rank = jnp.searchsorted(offsets, p, side="right").astype(jnp.int32)
+    rank_c = jnp.minimum(rank, N - 1)
+    k = p - excl[rank_c]
+    in_range = p < total
+
+    rmin = proj.rect_min[order][rank_c]         # [K, 2]
+    rmax = proj.rect_max[order][rank_c]
+    rw = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)
+    ti = rmin[:, 0] + k % rw
+    tj = rmin[:, 1] + k // rw
+    tile_id = jnp.where(in_range, tj * grid_x + ti, num_tiles).astype(jnp.int32)
+
+    # stable sort by tile id; ranks ride along (already in depth order)
+    tile_sorted, rank_sorted = jax.lax.sort((tile_id, rank_c), num_keys=1, is_stable=True)
+
+    tid = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_sorted, tid, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_sorted, tid, side="right").astype(jnp.int32)
+
+    return BinnedPairs(
+        order=order,
+        pair_gauss=rank_sorted,
+        pair_tile=tile_sorted,
+        tile_start=tile_start,
+        tile_count=(tile_end - tile_start),
+        num_pairs=total,
+        grid=(grid_x, grid_y),
+    )
+
+
+# Payload layout for the flat [K, F] per-pair feature matrix consumed by the
+# tiled backends. Kept in one gather so both the XLA and Pallas paths agree.
+PAYLOAD_FIELDS = (
+    ("mean2d", 2), ("conic", 3), ("opacity", 1), ("rgb", 3), ("tongue", 1),
+    ("view_point", 3), ("camera_planes", 6), ("ray_plane", 2), ("ts", 1),
+    ("normal", 3),
+)
+PAYLOAD_DIM = sum(d for _, d in PAYLOAD_FIELDS)  # 25
+PAYLOAD_PAD = 32  # pad feature dim for TPU lane alignment
+
+
+def payload_slices():
+    out, off = {}, 0
+    for name, d in PAYLOAD_FIELDS:
+        out[name] = slice(off, off + d)
+        off += d
+    return out
+
+
+PAYLOAD_SLICES = payload_slices()
+
+
+def build_gaussian_payload(proj: ProjectedGaussians, tongue: jnp.ndarray) -> jnp.ndarray:
+    """Per-gaussian feature rows [N, PAYLOAD_PAD] in original gaussian order."""
+    cols = [
+        proj.mean2d,
+        proj.conic,
+        proj.opacity[:, None],
+        proj.rgb,
+        tongue.reshape(-1, 1),
+        proj.view_point,
+        proj.camera_planes,
+        proj.ray_plane,
+        proj.ts[:, None],
+        proj.normal,
+    ]
+    payload = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
+    pad = PAYLOAD_PAD - PAYLOAD_DIM
+    if pad:
+        payload = jnp.pad(payload, ((0, 0), (0, pad)))
+    return payload
