@@ -104,7 +104,12 @@ PAYLOAD_FIELDS = (
     ("normal", 3),
 )
 PAYLOAD_DIM = sum(d for _, d in PAYLOAD_FIELDS)  # 25
-PAYLOAD_PAD = 32  # pad feature dim for TPU lane alignment
+# Feature dim padded to a full 128-lane row: Mosaic requires HBM slices to be
+# lane-aligned, and XLA's tiled HBM layout pads the minor dim to 128 anyway, so
+# the padding is physically free. TODO(perf): pack 4 pairs per row to use the
+# pad lanes for real data and cut DMA bytes 4x.
+PAYLOAD_PAD = 128
+ONES_COL = PAYLOAD_DIM  # constant-1 column: sum(w) falls out of the w@payload matmul
 
 
 def payload_slices():
@@ -132,8 +137,9 @@ def build_gaussian_payload(proj: ProjectedGaussians, tongue: jnp.ndarray) -> jnp
         proj.ts[:, None],
         proj.normal,
     ]
+    cols.append(jnp.ones_like(proj.ts[:, None]))  # ONES_COL
     payload = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
-    pad = PAYLOAD_PAD - PAYLOAD_DIM
+    pad = PAYLOAD_PAD - payload.shape[-1]
     if pad:
         payload = jnp.pad(payload, ((0, 0), (0, pad)))
     return payload
