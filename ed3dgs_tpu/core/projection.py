@@ -72,6 +72,8 @@ def project_gaussians(
     kernel_size: float = 0.0,
     sh_degree: int = 3,
     colors_precomp: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,
+    mean2d_offset: jnp.ndarray | None = None,
 ) -> ProjectedGaussians:
     """Project N Gaussians into one camera. Shapes: means3d [N,3], scales [N,3]
     (activated), quats [N,4] (unit), opacities [N], shs [N,K,3]."""
@@ -133,6 +135,11 @@ def project_gaussians(
     mean2d = jnp.stack(
         [ndc_to_pixel(p_proj[:, 0], width), ndc_to_pixel(p_proj[:, 1], height)], axis=-1
     )
+    if mean2d_offset is not None:
+        # zero-valued hook: grad w.r.t. this input is the screen-space mean
+        # gradient the densification heuristic needs (the TPU replacement for
+        # the reference's screenspace_points trick, gaussian_renderer/__init__.py:16)
+        mean2d = mean2d + mean2d_offset
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
     # int() in the reference truncates toward zero; clamping to >= 0 first makes
@@ -144,6 +151,8 @@ def project_gaussians(
     tiles = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
     valid = in_frustum & nonzero_det & (tiles > 0)
+    if mask is not None:
+        valid = valid & mask
     radius_i = jnp.where(valid, radius, 0.0).astype(jnp.int32)
     tiles = jnp.where(valid, tiles, 0)
 
