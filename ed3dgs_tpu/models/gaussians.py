@@ -62,8 +62,8 @@ def get_opacity(params: GaussianParams) -> jnp.ndarray:
 
 
 def get_rotation(params: GaussianParams) -> jnp.ndarray:
-    n = jnp.linalg.norm(params.rotation, axis=-1, keepdims=True)
-    return params.rotation / jnp.maximum(n, 1e-12)
+    sq = jnp.sum(params.rotation * params.rotation, axis=-1, keepdims=True)
+    return params.rotation / jnp.sqrt(jnp.where(sq < 1e-24, 1.0, sq))
 
 
 def get_features(params: GaussianParams) -> jnp.ndarray:
@@ -116,7 +116,7 @@ def create_from_points(
         features_dc=pad(fused_color[:, None, :]),
         features_rest=jnp.zeros((C, (sh_degree + 1) ** 2 - 1, 3), jnp.float32),
         scaling=pad(scales, fill=-10.0),
-        rotation=pad(jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1))),
+        rotation=jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (C, 1)),
         opacity=pad(jnp.full((n, 1), inverse_sigmoid(jnp.float32(0.1)))),
         embedding=jnp.zeros((C, embedding_dim), jnp.float32),
     )

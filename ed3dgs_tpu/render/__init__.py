@@ -84,7 +84,10 @@ def render(
             num_down_emb_c=num_down_emb_c, num_down_emb_f=num_down_emb_f,
         )
 
-    rot_act = rot_f / jnp.maximum(jnp.linalg.norm(rot_f, axis=-1, keepdims=True), 1e-12)
+    # safe normalize: dead slots may carry zero quaternions, and ||.|| has a
+    # non-finite derivative at exactly 0 (0-cotangent * NaN still poisons)
+    rot_sq = jnp.sum(rot_f * rot_f, axis=-1, keepdims=True)
+    rot_act = rot_f / jnp.sqrt(jnp.where(rot_sq < 1e-24, 1.0, rot_sq))
     if disable_filter3d:
         scales_act = jnp.exp(scales_f)
         opac_act = jax.nn.sigmoid(opac_f)

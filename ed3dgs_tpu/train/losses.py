@@ -1,0 +1,121 @@
+"""Training losses (reference utils/loss_utils.py, utils/image_utils.py and the
+loss assembly in train.py:195-343), as pure jnp."""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera_math import depth_to_normal, points_to_normal
+
+
+def l1_loss(pred, gt, keepdim=False):
+    d = jnp.abs(pred - gt)
+    if keepdim:
+        return jnp.mean(d.reshape(d.shape[0], -1), axis=1)
+    return jnp.mean(d)
+
+
+def l2_loss(pred, gt):
+    return jnp.mean((pred - gt) ** 2)
+
+
+def psnr(pred, gt):
+    """Per-image PSNR, matching utils/image_utils.py:17."""
+    mse = jnp.mean(((pred - gt) ** 2).reshape(pred.shape[0], -1), axis=1)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    g = [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma ** 2))
+         for x in range(window_size)]
+    g = jnp.asarray(g, jnp.float32)
+    g = g / jnp.sum(g)
+    return jnp.outer(g, g)
+
+
+def ssim(img1, img2, window_size: int = 11):
+    """Gaussian-window SSIM, same constants/padding as the reference
+    (utils/loss_utils.py:43-73). img: [B, C, H, W] or [C, H, W]."""
+    if img1.ndim == 3:
+        img1, img2 = img1[None], img2[None]
+    w = _gaussian_window(window_size)[None, None]  # [1,1,K,K]
+    C = img1.shape[1]
+    kernel = jnp.tile(w, (C, 1, 1, 1))
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(window_size // 2, window_size // 2)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = conv(img1 * img1) - mu1_sq
+    s2 = conv(img2 * img2) - mu2_sq
+    s12 = conv(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(ssim_map)
+
+
+def weighted_l2_loss_v2(x, y, w):
+    """sqrt(sum((x-y)^2, -1) * w + 1e-20).mean()  (utils/extra_utils.py:19)."""
+    return jnp.mean(jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1) * w + 1e-20))
+
+
+def embedding_knn_loss(embedding, neighbor_indices, neighbor_weight, mask=None):
+    """Per-Gaussian embedding smoothness vs its cached 20-NN
+    (train.py:231-235). `neighbor_indices` index into the same embedding
+    array; masked rows contribute 0 (weights pre-zeroed for dead slots)."""
+    emb_knn = embedding[neighbor_indices]           # [N, K, E]
+    emb = embedding[:, None, :]
+    per = jnp.sqrt(jnp.sum((emb - emb_knn) ** 2, axis=-1) * neighbor_weight + 1e-20)
+    if mask is None:
+        return jnp.mean(per)
+    m = mask.astype(jnp.float32)[:, None]
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * per.shape[1], 1.0)
+
+
+def temporal_tv_loss(weight):
+    """Smoothness of the temporal table. NOTE: reproduces the reference's
+    exact (quirky) formula (train.py:240-245): differences are taken against
+    the broadcast *last row*, twice, not consecutive rows."""
+    n = weight.shape[0]
+    first = weight[1:, :] - weight[n - 1, :]
+    second = first[1:, :] - first[n - 2, :]
+    return jnp.mean(jnp.square(second))
+
+
+def opacity_mean_loss(opacity_raw, alive):
+    """sigmoid of the mean raw opacity over alive gaussians (train.py:213-215)."""
+    m = alive.astype(jnp.float32)[:, None]
+    mean_raw = jnp.sum(opacity_raw * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jax.nn.sigmoid(mean_raw)
+
+
+def depth_normal_loss(rendered_normal, expected_depth, median_depth,
+                      width, height, focal_x, focal_y, depth_ratio=0.6):
+    """RaDe-GS depth-normal consistency (train.py:248-271 with
+    depth_double_to_normal): normals from finite differences of the
+    unprojected expected & median depth maps vs the rendered normal map."""
+    n_exp = depth_to_normal(expected_depth[0], width, height, focal_x, focal_y)
+    n_med = depth_to_normal(median_depth[0], width, height, focal_x, focal_y)
+    err_exp = 1.0 - jnp.sum(rendered_normal * n_exp, axis=0)
+    err_med = 1.0 - jnp.sum(rendered_normal * n_med, axis=0)
+    return (1.0 - depth_ratio) * jnp.mean(err_exp) + depth_ratio * jnp.mean(err_med)
+
+
+def coord_normal_loss(rendered_normal, expected_coord, median_coord,
+                      depth_ratio=0.6):
+    """use_coord_map variant (train.py:258-262): normals from the rendered
+    camera-space coordinate maps directly."""
+    n_exp = points_to_normal(expected_coord)
+    n_med = points_to_normal(median_coord)
+    err_exp = 1.0 - jnp.sum(rendered_normal * n_exp, axis=0)
+    err_med = 1.0 - jnp.sum(rendered_normal * n_med, axis=0)
+    return (1.0 - depth_ratio) * jnp.mean(err_exp) + depth_ratio * jnp.mean(err_med)

@@ -1,0 +1,255 @@
+"""Jitted training step + host-side training driver pieces.
+
+The inner step re-creates the reference hot loop (train.py:123-448) as one
+XLA computation: batched renders, the full loss assembly (L1 / periodic SSIM
+/ opacity-mean / embedding-KNN / temporal-TV / depth-normal / tongue losses),
+gradients (including the screen-space mean2d hook for densification stats),
+and the 9-group Adam update. Densification runs as a separate jitted call on
+its 100-iteration cadence.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.params import DeformHiddenConfig, ModelConfig, OptimizationConfig
+from ..models import gaussians as gm
+from ..models.deformation import init_deform_params
+from ..ops.knn import knn as knn_op
+from ..ops.rasterize import RasterConfig
+from ..render import RenderSettings, render
+from . import losses as L
+from .densify import add_densification_stats, densify
+from .optim import TrainState, build_optimizer, reset_moments_at
+
+
+@dataclass(frozen=True)
+class TrainSetup:
+    """Static configuration of the jitted step (hashable)."""
+
+    raster: RasterConfig
+    hidden: DeformHiddenConfig
+    batch_size: int
+    white_background: bool = True
+    kernel_size: float = 0.0
+    disable_filter3d: bool = False
+    use_coord_map: bool = False
+    tongue_enabled: bool = False
+    # loss coefficients (from OptimizationConfig)
+    lambda_dssim: float = 0.0
+    opacity_l1_coef: float = 0.0001
+    reg_coef: float = 1.0
+    coef_tv_temporal: float = 0.0
+    lambda_depth_normal: float = 0.05
+    radegs_from_iter: int = 15_000
+    num_down_emb: int = 30
+    sh_degree: int = 3
+
+
+
+class KnnCache(NamedTuple):
+    indices: jnp.ndarray         # [C, 20] global indices (non-tongue graph)
+    weights: jnp.ndarray         # [C, 20] exp(-2000 d2), 0 at dead/tongue rows
+    t_indices: jnp.ndarray       # [C, 20] tongue graph
+    t_weights: jnp.ndarray       # [C, 20]
+
+
+def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
+                     tongue_enabled: bool = False, k: int = 20) -> KnnCache:
+    """Recompute the embedding-regularizer neighborhood graph
+    (train.py:217-229) — on-device, replacing the reference's CPU Open3D
+    KDTree stall."""
+    tongue = jnp.round(aux.tongue_class[:, 0]) > 0.5
+    mask = aux.alive & ~tongue
+    C = aux.alive.shape[0]
+    far = 1e6 * (1.0 + jnp.arange(C, dtype=jnp.float32))[:, None]
+    pts = jnp.where(mask[:, None], params.xyz, far)
+    d2, idx = knn_op(pts, k=k)
+    w = jnp.where(mask[:, None], jnp.exp(-2000.0 * d2), 0.0)
+    if tongue_enabled:
+        tmask = aux.alive & tongue
+        tpts = jnp.where(tmask[:, None], params.xyz, -far)
+        td2, tidx = knn_op(tpts, k=k)
+        tw = jnp.where(tmask[:, None], jnp.exp(-2000.0 * td2), 0.0)
+    else:
+        tidx, tw = idx, jnp.zeros_like(w)
+    return KnnCache(idx, w, tidx, tw)
+
+
+def _render_one(params, aux, dparams, setup: TrainSetup, settings,
+                iteration, offset, need_geo, tongue_filter=None):
+    return render(
+        params, aux, dparams, setup.hidden, settings, setup.raster,
+        jnp.full((3,), 1.0 if setup.white_background else 0.0),
+        iteration=iteration, sh_degree=setup.sh_degree,
+        kernel_size=setup.kernel_size, disable_filter3d=setup.disable_filter3d,
+        num_down_emb_c=setup.num_down_emb, num_down_emb_f=setup.num_down_emb,
+        tongue_filter=tongue_filter, mean2d_offset=offset,
+    )
+
+
+def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
+                    optimizer):
+    """Build the jitted train step. Batch entries (all leading dim B):
+    gt_image [B,3,H,W], viewmatrix [B,4,4], projmatrix [B,4,4], campos [B,3],
+    time [B], cam_no [B], tongue_gt [B,1,H,W] (zeros if unused),
+    use_ssim [] bool (host-computed periodic SSIM gate, train.py:199)."""
+
+    B = setup.batch_size
+
+    def loss_fn(params_all, offsets, aux, batch, knn_cache, iteration):
+        gparams: gm.GaussianParams = params_all["gaussians"]
+        dparams = params_all["deform"]
+        reg_kick_on = iteration >= setup.radegs_from_iter
+
+        renders = []
+        for b in range(B):
+            settings = RenderSettings(
+                viewmatrix=batch["viewmatrix"][b],
+                projmatrix=batch["projmatrix"][b],
+                campos=batch["campos"][b],
+                time=batch["time"][b],
+                cam_no=batch["cam_no"][b],
+            )
+            renders.append(_render_one(gparams, aux, dparams, setup, settings,
+                                       iteration, offsets[b], reg_kick_on))
+
+        image = jnp.stack([r["render"] for r in renders])        # [B,3,H,W]
+        gt = batch["gt_image"]
+        l1_items = L.l1_loss(image, gt, keepdim=True)
+        l1 = jnp.mean(l1_items)
+        loss = l1
+
+        ssim_val = jax.lax.cond(
+            batch["use_ssim"],
+            lambda: L.ssim(image, gt),
+            lambda: jnp.float32(1.0))
+        lssim = (1.0 - ssim_val) / 2.0
+        loss = loss + setup.lambda_dssim * lssim * batch["use_ssim"]
+
+        opa_loss = L.opacity_mean_loss(gparams.opacity, aux.alive)
+        if setup.opacity_l1_coef > 0:
+            loss = loss + setup.opacity_l1_coef * opa_loss
+
+        emb_mask = aux.alive & ~(jnp.round(aux.tongue_class[:, 0]) > 0.5)
+        emb_loss = L.embedding_knn_loss(gparams.embedding, knn_cache.indices,
+                                        knn_cache.weights, mask=emb_mask)
+        loss = loss + setup.reg_coef * emb_loss
+
+        tv_loss = jnp.float32(0.0)
+        if setup.coef_tv_temporal > 0:
+            tv_loss = L.temporal_tv_loss(dparams["weight"])
+            loss = loss + setup.coef_tv_temporal * tv_loss
+
+        # depth-normal on the LAST batch entry only (train.py:247-271)
+        r_last = renders[-1]
+        dn = jax.lax.cond(
+            reg_kick_on,
+            lambda: (L.coord_normal_loss(r_last["normal"], r_last["expected_coord"],
+                                         r_last["median_coord"])
+                     if setup.use_coord_map else
+                     L.depth_normal_loss(r_last["normal"], r_last["expected_depth"],
+                                         r_last["median_depth"],
+                                         setup.raster.width, setup.raster.height,
+                                         setup.raster.focal_x, setup.raster.focal_y)),
+            lambda: jnp.float32(0.0))
+        loss = loss + setup.lambda_depth_normal * dn
+
+        tongue_losses = {}
+        if setup.tongue_enabled:
+            tmask = jnp.round(aux.tongue_class[:, 0]) > 0.5
+            gt_tongue = batch["tongue_gt"][-1]                    # [1,H,W]
+            t_l1 = L.l1_loss(gt_tongue[None], r_last["tongue_mask"][None],
+                             keepdim=True).mean()
+            loss = loss + 5.0 * t_l1
+            t_emb = L.embedding_knn_loss(gparams.embedding, knn_cache.t_indices,
+                                         knn_cache.t_weights,
+                                         mask=aux.alive & tmask)
+            loss = loss + setup.reg_coef * t_emb
+
+            settings_last = RenderSettings(
+                viewmatrix=batch["viewmatrix"][B - 1],
+                projmatrix=batch["projmatrix"][B - 1],
+                campos=batch["campos"][B - 1],
+                time=batch["time"][B - 1],
+                cam_no=batch["cam_no"][B - 1])
+            gt_mean = jnp.mean(gt_tongue)
+            r_tongue = _render_one(gparams, aux, dparams, setup, settings_last,
+                                   iteration, None, reg_kick_on, "only")
+            t_rgb = jnp.mean(jnp.abs(gt[-1] * gt_tongue - r_tongue["render"] * gt_tongue))
+            t_rgb = jnp.where(gt_mean > 0.005, t_rgb / jnp.maximum(gt_mean, 1e-8), 0.0)
+            loss = loss + t_rgb
+            r_wo = _render_one(gparams, aux, dparams, setup, settings_last,
+                               iteration, None, reg_kick_on, "without")
+            inv = 1.0 - gt_tongue
+            wo_rgb = jnp.mean(jnp.abs(gt[-1] * inv - r_wo["render"] * inv))
+            wo_rgb = wo_rgb / jnp.maximum(jnp.mean(inv), 1e-8)
+            loss = loss + 0.5 * wo_rgb
+            tongue_losses = {"tongue_l1": t_l1, "tongue_emb": t_emb,
+                             "tongue_rgb": t_rgb, "wo_tongue_rgb": wo_rgb}
+
+        radii = jnp.stack([r["radii"] for r in renders]).max(axis=0)
+        visible = jnp.stack([r["visibility_filter"] for r in renders]).any(axis=0)
+        metrics = {
+            "loss": loss, "l1": l1, "l1_items": l1_items,
+            "psnr": jnp.mean(L.psnr(image, gt)),
+            "ssim": ssim_val, "emb_loss": emb_loss, "tv_loss": tv_loss,
+            "opacity_mean": opa_loss, "depth_normal": dn,
+            **tongue_losses,
+        }
+        return loss, (metrics, radii, visible)
+
+    @jax.jit
+    def train_step(state: TrainState, aux: gm.GaussianAux, batch, knn_cache):
+        C = aux.alive.shape[0]
+        offsets0 = jnp.zeros((B, C, 2), jnp.float32)
+        # one autodiff pass: grads w.r.t. params AND the zero screen-space
+        # offsets hook (the latter are the reference's viewspace grads for
+        # densification stats, train.py:345-348)
+        (loss, (metrics, radii, visible)), (grads, vs_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, offsets0, aux, batch, knn_cache, state.iteration)
+        vs_grad_sum = jnp.sum(vs_grad, axis=0)  # summed over batch
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.iteration + 1)
+        aux2 = add_densification_stats(aux, vs_grad_sum, visible, radii)
+        return new_state, aux2, metrics
+
+    return train_step
+
+
+def make_densify_step(opt_cfg: OptimizationConfig, percent_dense: float,
+                      scene_extent: float):
+    @jax.jit
+    def densify_step(state: TrainState, aux, key, grad_threshold):
+        res = densify(state.params["gaussians"], aux, key,
+                      grad_threshold=grad_threshold,
+                      percent_dense=percent_dense,
+                      scene_extent=scene_extent,
+                      max_gaussians=opt_cfg.max_number_gaussians)
+        params = dict(state.params)
+        params["gaussians"] = res.params
+        opt_state = reset_moments_at(state.opt_state, res.reset_mask)
+        return (TrainState(params, opt_state, state.iteration), res.aux,
+                res.n_cloned, res.n_split)
+
+    return densify_step
+
+
+def init_train_state(params: gm.GaussianParams, hidden: DeformHiddenConfig,
+                     opt_cfg: OptimizationConfig, spatial_lr_scale: float,
+                     seed: int = 0):
+    dparams = init_deform_params(jax.random.PRNGKey(seed), hidden)
+    all_params = {"gaussians": params, "deform": dparams}
+    optimizer = build_optimizer(opt_cfg, spatial_lr_scale)
+    opt_state = optimizer.init(all_params)
+    return TrainState(all_params, opt_state, jnp.int32(0)), optimizer
