@@ -1,0 +1,125 @@
+"""Benchmark: forward render throughput on NerSemble-shaped workloads.
+
+Run standalone on one real TPU chip (the driver does this at round end).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no benchmark numbers (BASELINE.md), so
+`vs_baseline` reports the speedup of the Pallas tile kernel over this
+framework's own pure-XLA tiled fallback on the identical workload — the
+honest available baseline until reference-hardware numbers exist.
+
+Workload: 100k Gaussians (capacity-padded), 802x550 image (NerSemble
+downsampled resolution), SH degree 3, mip-splatting kernel 0.1 — the
+steady-state shape of NerSemble training/rendering.
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def build(n=100_000, w=802, h=550):
+    import jax
+    import jax.numpy as jnp
+
+    from ed3dgs_tpu.core.projection import project_gaussians
+    from ed3dgs_tpu.data.cameras import look_at_camera
+    from ed3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    rng = np.random.default_rng(0)
+    means = np.stack([rng.uniform(-1.0, 1.0, n), rng.uniform(-0.7, 0.7, n),
+                      rng.uniform(1.2, 3.5, n)], 1).astype(np.float32)
+    scales = np.exp(rng.normal(-4.5, 0.5, (n, 3))).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    shs = (rng.normal(0, 0.3, (n, 16, 3)) * np.array([3.0] + [0.3] * 15)[None, :, None]
+           ).astype(np.float32)
+    tongue = np.zeros(n, np.float32)
+    fov = math.radians(50.0)
+    cam = look_at_camera((0, 0, 0), (0, 0, 2.0), (0, -1, 0), fov,
+                         2 * math.atan(math.tan(fov / 2) * h / w), w, h).matrices()
+
+    args = dict(
+        viewmatrix=jnp.asarray(cam.world_view), projmatrix=jnp.asarray(cam.full_proj),
+        campos=jnp.asarray(cam.campos), width=w, height=h,
+        tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+        focal_x=cam.focal_x, focal_y=cam.focal_y, kernel_size=0.1, sh_degree=3)
+
+    def forward(backend):
+        cfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x,
+                           focal_y=cam.focal_y, pair_capacity=1 << 21,
+                           max_per_tile=2048, chunk=128, backend=backend)
+
+        def run(means, scales, q, opac, shs):
+            proj = project_gaussians(means, scales, q, opac, shs, **args)
+            out = rasterize(proj, jnp.asarray(tongue), jnp.ones(3), cfg)
+            return out.color, out.expected_depth, out.normal
+
+        return jax.jit(run), (jnp.asarray(means), jnp.asarray(scales),
+                              jnp.asarray(q), jnp.asarray(opac), jnp.asarray(shs))
+
+    return forward, w, h
+
+
+def time_fn(f, fargs, iters=20):
+    """Slope timing: chain `iters` input-perturbed evaluations inside one jit
+    and difference two chain lengths. This defeats (a) the tunnel terminal's
+    same-input execution cache and (b) per-dispatch round-trip overhead —
+    both of which make naive loop timing wildly wrong on this setup."""
+    import jax
+    import jax.numpy as jnp
+
+    means = fargs[0]
+    rest = fargs[1:]
+
+    def make(n):
+        @jax.jit
+        def run(m, *r):
+            def it(i, acc):
+                out = f(m + 1e-6 * i.astype(jnp.float32), *r)
+                return acc + jnp.sum(out[0][:, ::64, ::64])
+            return jax.lax.fori_loop(0, n, it, 0.0)
+        return run
+
+    lo, hi = max(2, iters // 4), iters
+    rlo, rhi = make(lo), make(hi)
+    jax.block_until_ready(rlo(means, *rest))
+    jax.block_until_ready(rhi(means, *rest))
+    samples = []
+    for rep in range(3):
+        eps = np.float32(1e-5 * (rep + 1))
+        t0 = time.time()
+        jax.block_until_ready(rlo(means + eps, *rest))
+        tl = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(rhi(means + 2 * eps, *rest))
+        th = time.time() - t0
+        samples.append((th - tl) / (hi - lo))
+    return float(np.median(samples))
+
+
+def main():
+    forward, w, h = build()
+    f_pal, fargs = forward("pallas")
+    t_pal = time_fn(f_pal, fargs)
+    f_xla, fargs2 = forward("xla")
+    try:
+        t_xla = time_fn(f_xla, fargs2, iters=5)
+    except Exception:
+        t_xla = float("nan")
+    mpix_s = (w * h / t_pal) / 1e6
+    vs = (t_xla / t_pal) if np.isfinite(t_xla) else 1.0
+    print(json.dumps({
+        "metric": "render_throughput_pallas_802x550_100k",
+        "value": round(mpix_s, 2),
+        "unit": "Mpixels/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -79,8 +79,8 @@ def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> 
     bins = bin_gaussians(proj, width=cfg.width, height=cfg.height,
                          pair_capacity=cfg.pair_capacity)
     payload = build_gaussian_payload(proj, tongue)
-    payload_sorted = payload[bins.order]
-    pair_payload = payload_sorted[bins.pair_gauss]         # [K, F] pair order
+    # one fused gather: pair slot -> original gaussian index -> payload row
+    pair_payload = payload[bins.order[bins.pair_gauss]]    # [K, F] pair order
     pair_payload = jnp.pad(pair_payload, ((0, cfg.chunk), (0, 0)))
     grid_x, grid_y = bins.grid
     packed = rp.rasterize_pallas_forward(

@@ -114,17 +114,28 @@ def _forward_kernel(
     n_chunks = pl.cdiv(count, chunk)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (chunk, PIX), 0)
 
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            payload_hbm.at[pl.ds(start + c * chunk, chunk)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
     def body(c, _):
-        copy = pltpu.make_async_copy(
-            payload_hbm.at[pl.ds(start + c * chunk, chunk)], buf, sem)
-        copy.start()
-        copy.wait()
+        slot = jax.lax.rem(c, 2)
+        # double buffering: next chunk's DMA in flight while we blend this one
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        get_dma(slot, c).wait()
 
         t_carry = state[0, :].reshape(1, PIX)
         # skip blending entirely once every pixel saturated
         @pl.when(jnp.max(t_carry) >= T_STOP)
         def _():
-            block = buf[:]  # [C, F]
+            block = buf[slot]  # [C, F]
             S = PAYLOAD_SLICES
             xy_x = block[:, S["mean2d"].start:S["mean2d"].start + 1]
             xy_y = block[:, S["mean2d"].start + 1:S["mean2d"].start + 2]
@@ -254,8 +265,8 @@ def rasterize_pallas_forward(
             (1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, PAYLOAD_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, chunk, PAYLOAD_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((PIX, PAYLOAD_PAD), jnp.float32),
             pltpu.VMEM((PIX, PAYLOAD_PAD), jnp.float32),
             pltpu.VMEM((PIX, PAYLOAD_PAD), jnp.float32),

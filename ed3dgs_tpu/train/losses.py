@@ -30,12 +30,17 @@ def psnr(pred, gt):
 
 
 @functools.lru_cache(maxsize=None)
+def _gaussian_window_np(window_size: int = 11, sigma: float = 1.5):
+    import numpy as np
+    g = np.array([math.exp(-((x - window_size // 2) ** 2) / (2 * sigma ** 2))
+                  for x in range(window_size)], dtype=np.float32)
+    g = g / g.sum()
+    return np.outer(g, g)
+
+
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
-    g = [math.exp(-((x - window_size // 2) ** 2) / (2 * sigma ** 2))
-         for x in range(window_size)]
-    g = jnp.asarray(g, jnp.float32)
-    g = g / jnp.sum(g)
-    return jnp.outer(g, g)
+    # cached in numpy (a jnp cache would leak tracers across jit traces)
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def ssim(img1, img2, window_size: int = 11):

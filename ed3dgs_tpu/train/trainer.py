@@ -96,7 +96,7 @@ def _render_one(params, aux, dparams, setup: TrainSetup, settings,
 
 
 def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
-                    optimizer):
+                    optimizer, jit: bool = True):
     """Build the jitted train step. Batch entries (all leading dim B):
     gt_image [B,3,H,W], viewmatrix [B,4,4], projmatrix [B,4,4], campos [B,3],
     time [B], cam_no [B], tongue_gt [B,1,H,W] (zeros if unused),
@@ -109,19 +109,23 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
         dparams = params_all["deform"]
         reg_kick_on = iteration >= setup.radegs_from_iter
 
-        renders = []
-        for b in range(B):
-            settings = RenderSettings(
-                viewmatrix=batch["viewmatrix"][b],
-                projmatrix=batch["projmatrix"][b],
-                campos=batch["campos"][b],
-                time=batch["time"][b],
-                cam_no=batch["cam_no"][b],
-            )
-            renders.append(_render_one(gparams, aux, dparams, setup, settings,
-                                       iteration, offsets[b], reg_kick_on))
+        # vmapped over the camera batch: the leading B axis stays a real batch
+        # dimension, so the sharded path partitions it over the "data" mesh
+        # axis (camera data-parallelism) with no code change.
+        def render_b(vm, pm, cp, tm, cn, off):
+            settings = RenderSettings(vm, pm, cp, tm, cn)
+            r = _render_one(gparams, aux, dparams, setup, settings,
+                            iteration, off, reg_kick_on)
+            keep = ("render", "radii", "visibility_filter", "expected_depth",
+                    "median_depth", "normal", "expected_coord", "median_coord",
+                    "tongue_mask")
+            return {k: r[k] for k in keep}
 
-        image = jnp.stack([r["render"] for r in renders])        # [B,3,H,W]
+        renders = jax.vmap(render_b)(
+            batch["viewmatrix"], batch["projmatrix"], batch["campos"],
+            batch["time"], batch["cam_no"], offsets)
+
+        image = renders["render"]                                # [B,3,H,W]
         gt = batch["gt_image"]
         l1_items = L.l1_loss(image, gt, keepdim=True)
         l1 = jnp.mean(l1_items)
@@ -149,7 +153,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             loss = loss + setup.coef_tv_temporal * tv_loss
 
         # depth-normal on the LAST batch entry only (train.py:247-271)
-        r_last = renders[-1]
+        r_last = jax.tree_util.tree_map(lambda x: x[B - 1], renders)
         dn = jax.lax.cond(
             reg_kick_on,
             lambda: (L.coord_normal_loss(r_last["normal"], r_last["expected_coord"],
@@ -195,8 +199,8 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             tongue_losses = {"tongue_l1": t_l1, "tongue_emb": t_emb,
                              "tongue_rgb": t_rgb, "wo_tongue_rgb": wo_rgb}
 
-        radii = jnp.stack([r["radii"] for r in renders]).max(axis=0)
-        visible = jnp.stack([r["visibility_filter"] for r in renders]).any(axis=0)
+        radii = renders["radii"].max(axis=0)
+        visible = renders["visibility_filter"].any(axis=0)
         metrics = {
             "loss": loss, "l1": l1, "l1_items": l1_items,
             "psnr": jnp.mean(L.psnr(image, gt)),
@@ -206,7 +210,6 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
         }
         return loss, (metrics, radii, visible)
 
-    @jax.jit
     def train_step(state: TrainState, aux: gm.GaussianAux, batch, knn_cache):
         C = aux.alive.shape[0]
         offsets0 = jnp.zeros((B, C, 2), jnp.float32)
@@ -224,7 +227,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
         aux2 = add_densification_stats(aux, vs_grad_sum, visible, radii)
         return new_state, aux2, metrics
 
-    return train_step
+    return jax.jit(train_step) if jit else train_step
 
 
 def make_densify_step(opt_cfg: OptimizationConfig, percent_dense: float,
