@@ -64,6 +64,7 @@ def render(
     num_down_emb_f: int = 30,
     tongue_filter: Optional[str] = None,  # None | "only" | "without"
     mean2d_offset: Optional[jnp.ndarray] = None,
+    active_sh_degree=None,
 ) -> dict:
     """One differentiable render (reference gaussian_renderer.render :8-142).
 
@@ -88,6 +89,13 @@ def render(
     # non-finite derivative at exactly 0 (0-cotangent * NaN still poisons)
     rot_sq = jnp.sum(rot_f * rot_f, axis=-1, keepdims=True)
     rot_act = rot_f / jnp.sqrt(jnp.where(rot_sq < 1e-24, 1.0, rot_sq))
+
+    if active_sh_degree is not None:
+        # oneupSHdegree (gaussian_model.py:146-148) without recompiling:
+        # zeroing bands above the active degree is exactly truncated SH eval,
+        # so the degree can be a traced value under one jit.
+        band = jnp.asarray([0] + [1] * 3 + [2] * 5 + [3] * 7, jnp.int32)
+        shs_f = shs_f * (band <= active_sh_degree)[None, :, None]
     if disable_filter3d:
         scales_act = jnp.exp(scales_f)
         opac_act = jax.nn.sigmoid(opac_f)

@@ -1,0 +1,258 @@
+"""Training CLI — reference train.py equivalent.
+
+Usage:
+  python -m ed3dgs_tpu.tools.train -s <scene_dir> -m <model_dir> \
+      [--configs cfg.py] [--loader dynerf] [--iterations N] ...
+
+The hot loop is one jitted step (projection, binning, blending, full loss,
+gradients, 9-group Adam) with host-side camera sampling and image staging;
+densification / 3D-filter / KNN-cache refresh run on their reference cadences
+(train.py:123-452).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="ed3dgs_tpu trainer")
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--configs", default=None)
+    p.add_argument("--loader", default=None)
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--duration", type=int, default=None)
+    p.add_argument("--capacity", type=int, default=None,
+                   help="Gaussian capacity (default: max_number_gaussians)")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--backend", default=None, choices=["auto", "xla", "pallas"])
+    p.add_argument("--save_iterations", type=int, nargs="+", default=None)
+    p.add_argument("--checkpoint_iterations", type=int, nargs="+", default=[])
+    p.add_argument("--test_every", type=int, default=0)
+    p.add_argument("--seed", type=int, default=6666)
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="config overrides, e.g. --set kernel_size=0.1")
+    return p.parse_args(argv)
+
+
+def build_config(args):
+    from ..config.loader import load_full_config
+    from ..config.params import apply_overrides
+
+    overrides = {"source_path": args.source_path, "model_path": args.model_path}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        overrides[k] = v
+    if args.loader:
+        overrides["loader"] = args.loader
+    if args.iterations:
+        overrides["iterations"] = args.iterations
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.backend:
+        overrides["raster_backend"] = args.backend
+    cfg = load_full_config(args.configs, overrides)
+    return cfg
+
+
+def stage_batch(cams, maxtime, use_ssim, tongue_enabled):
+    import jax.numpy as jnp
+
+    mats = [c.matrices() for c in cams]
+    imgs = []
+    tongues = []
+    for c in cams:
+        img = c.image
+        if img is None:
+            raise FileNotFoundError(f"image missing: {c.image_path}")
+        imgs.append(img)
+        t = c.tongue_mask
+        tongues.append(t if t is not None else np.zeros((1,) + img.shape[1:], np.float32))
+    batch = {
+        "gt_image": jnp.asarray(np.stack(imgs)),
+        "viewmatrix": jnp.asarray(np.stack([m.world_view for m in mats])),
+        "projmatrix": jnp.asarray(np.stack([m.full_proj for m in mats])),
+        "campos": jnp.asarray(np.stack([m.campos for m in mats])),
+        "time": jnp.asarray(np.array([c.time for c in cams], np.float32)),
+        "cam_no": jnp.asarray(np.array([c.cam_no for c in cams], np.int32)),
+        "use_ssim": jnp.asarray(bool(use_ssim)),
+    }
+    if tongue_enabled:
+        batch["tongue_gt"] = jnp.asarray(np.stack(tongues))
+    return batch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    run_training(cfg, args)
+
+
+def run_training(cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.scene import Scene
+    from ..models import gaussians as gm
+    from ..ops.rasterize import RasterConfig
+    from ..train.sampling import CameraSampler
+    from ..train.trainer import (TrainSetup, init_train_state,
+                                 make_densify_step, make_train_step,
+                                 update_knn_cache)
+
+    t_start = time.time()
+    model, opt, hidden, pipe = cfg.model, cfg.opt, cfg.hidden, cfg.pipe
+    capacity = args.capacity or opt.max_number_gaussians
+    os.makedirs(model.model_path, exist_ok=True)
+    with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
+        f.write(repr({"model": vars(model), "opt": vars(opt),
+                      "hidden": vars(hidden)}))
+
+    scene = Scene(model, hidden, capacity=capacity, duration=args.duration,
+                  shuffle=False, seed=args.seed)
+    train_cams = sorted(scene.train_cameras, key=lambda c: (c.cam_no, c.frame_no))
+    cam0 = train_cams[0].matrices()
+
+    rcfg = RasterConfig(
+        width=cam0.width, height=cam0.height,
+        focal_x=cam0.focal_x, focal_y=cam0.focal_y,
+        pair_capacity=opt.pair_capacity, chunk=opt.raster_chunk,
+        backend=opt.raster_backend,
+        max_per_tile=2048)
+    setup = TrainSetup(
+        raster=rcfg, hidden=hidden, batch_size=opt.batch_size,
+        white_background=model.white_background, kernel_size=model.kernel_size,
+        disable_filter3d=model.disable_filter3D,
+        use_coord_map=model.use_coord_map,
+        tongue_enabled=model.tongue_mask_loss_enabled,
+        lambda_dssim=opt.lambda_dssim, opacity_l1_coef=opt.opacity_l1_coef_fine,
+        reg_coef=opt.reg_coef, coef_tv_temporal=opt.coef_tv_temporal_embedding,
+        lambda_depth_normal=opt.lambda_depth_normal,
+        radegs_from_iter=opt.radegs_regularization_from_iter,
+        num_down_emb=hidden.min_embeddings, sh_degree=model.sh_degree)
+
+    state, optimizer = init_train_state(scene.params, hidden, opt,
+                                        scene.cameras_extent, seed=args.seed)
+    aux = scene.aux
+    step_fn = make_train_step(setup, opt, optimizer)
+    densify_fn = make_densify_step(opt, opt.percent_dense, scene.cameras_extent)
+
+    # camera metadata for sampling / 3D filter
+    cam_ids = sorted({c.cam_no for c in train_cams})
+    cam_index = {c: i for i, c in enumerate(cam_ids)}
+    first_frames = [c for c in train_cams if c.frame_no == 0]
+    centers = np.stack([c.matrices().campos for c in first_frames])
+    by_key = {(c.cam_no, c.frame_no): c for c in train_cams}
+    maxtime = scene.maxtime
+
+    view_mats = jnp.asarray(np.stack([c.matrices().world_view for c in first_frames]))
+    focals_x = jnp.asarray(np.array([c.matrices().focal_x for c in first_frames], np.float32))
+    focals_y = jnp.asarray(np.array([c.matrices().focal_y for c in first_frames], np.float32))
+    widths = jnp.asarray(np.array([c.width for c in first_frames], np.float32))
+    heights = jnp.asarray(np.array([c.height for c in first_frames], np.float32))
+
+    def refresh_filter(params, aux):
+        if model.disable_filter3D:
+            return aux._replace(filter_3d=jnp.zeros_like(aux.filter_3d))
+        f = gm.compute_3d_filter(params.xyz, aux.alive, view_mats,
+                                 focals_x, focals_y, widths, heights)
+        return aux._replace(filter_3d=f)
+
+    aux = refresh_filter(state.params["gaussians"], aux)
+
+    sampler = CameraSampler(
+        num_cams=len(cam_ids), maxtime=maxtime, camera_centers=centers,
+        batch_size=opt.batch_size, random_until=opt.random_until,
+        num_multiview_ssim=opt.num_multiview_ssim,
+        sequential=model.sampling_sequential_frame_enabled,
+        first_frame_then_sequential=model.sampling_first_frame_then_sequential_enabled,
+        first_frame_change=model.sampling_first_frame_change,
+        is_sample_from_past=model.is_sample_from_past,
+        preference_frames=tuple(model.frame_indices_higher_preference),
+        preference_probability=model.frame_preference_probability,
+        seed=args.seed)
+
+    knn_cache = update_knn_cache(state.params["gaussians"], aux,
+                                 tongue_enabled=model.tongue_mask_loss_enabled)
+    key = jax.random.PRNGKey(args.seed)
+
+    final_iter = opt.iterations
+    save_iters = set(args.save_iterations or [final_iter])
+    ckpt_iters = set(args.checkpoint_iterations)
+    ema_loss = 0.0
+    log_path = os.path.join(model.model_path, "training_time.txt")
+
+    for iteration in range(1, final_iter + 1):
+        cams_idx, frames, use_ssim = sampler.sample(iteration, final_iter)
+        cams = [by_key[(cam_ids[c % len(cam_ids)], int(f) % maxtime)]
+                for c, f in zip(cams_idx, frames)]
+        batch = stage_batch(cams, maxtime, use_ssim, model.tongue_mask_loss_enabled)
+        state, aux, metrics = step_fn(state, aux, batch, knn_cache)
+
+        l1_items = np.asarray(metrics["l1_items"])
+        sampler.record_loss([cam_index.get(c.cam_no, 0) for c in cams],
+                            [c.frame_no for c in cams], l1_items)
+        for c in cams:
+            c.release_image()
+
+        if iteration < opt.densify_until_iter and iteration > opt.densify_from_iter \
+                and iteration % opt.densification_interval == 0:
+            thr = (opt.densify_grad_threshold_fine_init
+                   - iteration * (opt.densify_grad_threshold_fine_init
+                                  - opt.densify_grad_threshold_after)
+                   / opt.densify_until_iter)
+            key, sub = jax.random.split(key)
+            state, aux, n_c, n_s = densify_fn(state, aux, sub, thr)
+            aux = refresh_filter(state.params["gaussians"], aux)
+            knn_cache = update_knn_cache(state.params["gaussians"], aux,
+                                         tongue_enabled=model.tongue_mask_loss_enabled)
+        elif (iteration % 100 == 0 and iteration > opt.densify_until_iter
+                and not model.disable_filter3D and iteration < final_iter - 100):
+            aux = refresh_filter(state.params["gaussians"], aux)
+
+        if not args.quiet and iteration % 100 == 0:
+            loss = float(metrics["loss"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            n_pts = int(jnp.sum(aux.alive))
+            print(f"[{iteration}/{final_iter}] loss={ema_loss:.5f} "
+                  f"psnr={float(metrics['psnr']):.2f} points={n_pts}",
+                  flush=True)
+
+        if iteration in save_iters:
+            elapsed = time.time() - t_start
+            n_pts = int(jnp.sum(aux.alive))
+            with open(log_path, "a") as f:
+                f.write(f"Iteration {iteration}: {elapsed} seconds "
+                        f"points: {n_pts}\n")
+            scene.save(iteration, state.params["gaussians"], aux,
+                       state.params["deform"])
+        if iteration in ckpt_iters:
+            save_checkpoint(model.model_path, iteration, state, aux)
+
+    return scene, state, aux
+
+
+def save_checkpoint(model_path, iteration, state, aux):
+    """Full optimizer checkpoint (reference chkpnt<it>.pth, train.py:450-452)."""
+    from ..data.scene import flatten_pytree
+    flat = flatten_pytree({"params": state.params,
+                           "opt_state": state.opt_state, "aux": aux._asdict()})
+    flat = {k: v for k, v in flat.items() if v.dtype != object}
+    np.savez(os.path.join(model_path, f"chkpnt{iteration}.npz"),
+             iteration=iteration, **flat)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

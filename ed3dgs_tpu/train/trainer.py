@@ -85,6 +85,9 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
 
 def _render_one(params, aux, dparams, setup: TrainSetup, settings,
                 iteration, offset, need_geo, tongue_filter=None):
+    # oneupSHdegree every 1000 iterations (train.py:129-130), as a traced value
+    active_sh = jnp.minimum(jnp.asarray(iteration, jnp.int32) // 1000,
+                            setup.sh_degree)
     return render(
         params, aux, dparams, setup.hidden, settings, setup.raster,
         jnp.full((3,), 1.0 if setup.white_background else 0.0),
@@ -92,6 +95,7 @@ def _render_one(params, aux, dparams, setup: TrainSetup, settings,
         kernel_size=setup.kernel_size, disable_filter3d=setup.disable_filter3d,
         num_down_emb_c=setup.num_down_emb, num_down_emb_f=setup.num_down_emb,
         tongue_filter=tongue_filter, mean2d_offset=offset,
+        active_sh_degree=active_sh,
     )
 
 
