@@ -51,6 +51,8 @@ class ProjectedGaussians(NamedTuple):
     ts: jnp.ndarray             # [N] distance camera->gaussian (ray depth at center)
     rgb: jnp.ndarray            # [N, 3] SH-evaluated color
     cov3d: jnp.ndarray          # [N, 6] packed world covariance (residual for bwd)
+    invraycov: jnp.ndarray | None = None  # [N, 6] 3D ray-space inverse covariance
+    well_conditioned: jnp.ndarray | None = None  # [N] bool (integrate path)
 
 
 def project_gaussians(
@@ -74,6 +76,7 @@ def project_gaussians(
     colors_precomp: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
     mean2d_offset: jnp.ndarray | None = None,
+    compute_invraycov: bool = False,
 ) -> ProjectedGaussians:
     """Project N Gaussians into one camera. Shapes: means3d [N,3], scales [N,3]
     (activated), quats [N,4] (unit), opacities [N], shs [N,K,3]."""
@@ -157,7 +160,7 @@ def project_gaussians(
     tiles = jnp.where(valid, tiles, 0)
 
     # --- RaDe-GS plane/normal geometry (forward.cu:135-262)
-    sigma_inv, _well = sym3_pseudo_inverse_min(cov3d)
+    sigma_inv, well = sym3_pseudo_inverse_min(cov3d)
     SigInv = unpack_sym3(sigma_inv)
     cov_cam_inv = jnp.einsum("ij,njk,lk->nil", R_cw, SigInv, R_cw)
     uvh = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
@@ -211,6 +214,30 @@ def project_gaussians(
 
     ts = jnp.sqrt(jnp.sum(p_view * p_view, axis=-1))
 
+    invraycov = None
+    if compute_invraycov:
+        # integrate path (forward.cu:187-234): 3D inverse covariance in
+        # (pixel-x, pixel-y, ray-depth) space,
+        #   invraycov = S . nJif . Sigma_cam^-1 . nJif^T . S,
+        # with nJif the full inverse ray Jacobian and S = diag(1/fx, 1/fy, 1).
+        # The ill-conditioned eigen fallback of the reference is approximated
+        # by the pseudo-inverse already inside Sigma_cam^-1.
+        fac = tz * inv_nl
+        nJif = jnp.stack(
+            [
+                jnp.stack([(v2 + 1.0) * fac, -uv * fac, -u * fac], -1),
+                jnp.stack([-uv * fac, (u2 + 1.0) * fac, -v * fac], -1),
+                jnp.stack([u * tz / l, v * tz / l, tz / l], -1),
+            ],
+            axis=-2,
+        )  # [N, 3, 3]
+        icr = jnp.einsum("nij,njk,nlk->nil", nJif, cov_cam_inv, nJif)
+        s = jnp.array([1.0 / focal_x, 1.0 / focal_y, 1.0], jnp.float32)
+        icr = icr * s[None, :, None] * s[None, None, :]
+        invraycov = jnp.stack(
+            [icr[:, 0, 0], icr[:, 0, 1], icr[:, 0, 2],
+             icr[:, 1, 1], icr[:, 1, 2], icr[:, 2, 2]], axis=-1)
+
     if colors_precomp is not None:
         rgb = colors_precomp.astype(f32)
     else:
@@ -233,4 +260,6 @@ def project_gaussians(
         ts=ts,
         rgb=rgb,
         cov3d=cov3d,
+        invraycov=invraycov,
+        well_conditioned=well if compute_invraycov else None,
     )

@@ -119,6 +119,34 @@ def write_ply(path: str, names, arrays, element: str = "vertex"):
         f.write(rec.tobytes())
 
 
+def write_mesh_ply(path: str, vertices: np.ndarray, faces: np.ndarray):
+    """Triangle mesh (binary little endian): float vertices + uchar-list faces."""
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int32)
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(vertices)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"end_header\n")
+        f.write(vertices.astype("<f4").tobytes())
+        rec = np.zeros(len(faces), dtype=np.dtype([("n", "u1"), ("v", "<i4", 3)]))
+        rec["n"] = 3
+        rec["v"] = faces
+        f.write(rec.tobytes())
+
+
+def read_mesh_ply(path: str):
+    """Triangle mesh -> (vertices [V,3] f32, faces [F,3] i64)."""
+    data = read_ply(path)
+    v = data["vertex"]
+    verts = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+    faces = np.stack([np.asarray(row["vertex_indices"], np.int64)
+                      for row in data["face"]])
+    return verts, faces
+
+
 def fetch_point_cloud(path: str):
     """Input ply -> (points [N,3] f32, colors [N,3] f32 in [0,1], normals [N,3]).
 
