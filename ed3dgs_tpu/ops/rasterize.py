@@ -75,21 +75,58 @@ def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
     )
 
 
+# ---- the pallas tile pass as a custom-vjp unit --------------------------
+# Differentiable in the pair payload only; binning indices and the gather are
+# plain jnp upstream (the gather's transpose gives the deterministic
+# per-gaussian scatter-add that replaces the reference's atomics).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_tiles(pair_payload, tile_start, tile_count, meta):
+    return _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
+
+
+def _packed_tiles_impl(pair_payload, tile_start, tile_count, meta):
+    (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
+    return rp.rasterize_pallas_forward(
+        pair_payload, tile_start, tile_count,
+        num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
+        focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
+
+
+def _packed_tiles_fwd(pair_payload, tile_start, tile_count, meta):
+    packed = _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
+    return packed, (pair_payload, tile_start, tile_count, packed)
+
+
+def _packed_tiles_bwd(meta, res, cot):
+    (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
+    pair_payload, tile_start, tile_count, packed = res
+    dpay = rp.rasterize_pallas_backward(
+        pair_payload, tile_start, tile_count, packed, cot,
+        num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
+        focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
+    # zero rows never owned by a tile (sentinel padding: uninitialized memory)
+    covered = tile_start[-1] + jnp.minimum(tile_count[-1], chunk * 512)
+    K = dpay.shape[0]
+    row = jax.lax.optimization_barrier(jnp.arange(K, dtype=jnp.int32))
+    dpay = jnp.where((row < covered)[:, None], dpay, 0.0)
+    return dpay, None, None
+
+
+_packed_tiles.defvjp(_packed_tiles_fwd, _packed_tiles_bwd)
+
+
 def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> RasterOutputs:
     bins = bin_gaussians(proj, width=cfg.width, height=cfg.height,
                          pair_capacity=cfg.pair_capacity)
     payload = build_gaussian_payload(proj, tongue)
-    # one fused gather: pair slot -> original gaussian index -> payload row
-    pair_payload = payload[bins.order[bins.pair_gauss]]    # [K, F] pair order
+    payload_sorted = payload[bins.order]
+    pair_payload = payload_sorted[bins.pair_gauss]         # [K, F] pair order
     pair_payload = jnp.pad(pair_payload, ((0, cfg.chunk), (0, 0)))
     grid_x, grid_y = bins.grid
-    packed = rp.rasterize_pallas_forward(
-        pair_payload, bins.tile_start, bins.tile_count,
-        num_tiles=grid_x * grid_y, grid_x=grid_x,
-        width=cfg.width, height=cfg.height,
-        focal_x=cfg.focal_x, focal_y=cfg.focal_y,
-        chunk=cfg.chunk, interpret=cfg.interpret,
-    )
+    meta = (grid_x * grid_y, grid_x, cfg.width, cfg.height,
+            cfg.focal_x, cfg.focal_y, cfg.chunk, cfg.interpret)
+    packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count, meta)
     return _unpack_pallas(packed, bg, cfg, bins.grid)
 
 
@@ -102,25 +139,6 @@ def _xla_forward(proj, tongue, bg, cfg: RasterConfig) -> RasterOutputs:
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _rasterize_pallas_diff(proj, tongue, bg, cfg):
-    return _pallas_forward(proj, tongue, bg, cfg)
-
-
-def _rasterize_pallas_fwd(proj, tongue, bg, cfg):
-    out = _pallas_forward(proj, tongue, bg, cfg)
-    return out, (proj, tongue, bg)
-
-
-def _rasterize_pallas_bwd(cfg, res, g):
-    proj, tongue, bg = res
-    _, vjp = jax.vjp(lambda p, t, b: _xla_forward(p, t, b, cfg), proj, tongue, bg)
-    return vjp(g)
-
-
-_rasterize_pallas_diff.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
-
-
 def rasterize(proj: ProjectedGaussians, tongue: jnp.ndarray, bg: jnp.ndarray,
               cfg: RasterConfig) -> RasterOutputs:
     backend = _resolve_backend(cfg.backend)
@@ -131,5 +149,5 @@ def rasterize(proj: ProjectedGaussians, tongue: jnp.ndarray, bg: jnp.ndarray,
     if backend == "xla":
         return _xla_forward(proj, tongue, bg, cfg)
     if backend == "pallas":
-        return _rasterize_pallas_diff(proj, tongue, bg, cfg)
+        return _pallas_forward(proj, tongue, bg, cfg)
     raise ValueError(f"unknown rasterizer backend: {backend}")

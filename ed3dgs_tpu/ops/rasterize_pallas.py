@@ -46,8 +46,9 @@ OUT_CHANNELS = {
     "mdepth": slice(12, 13),
     "tongue": slice(13, 14),
     "normal": slice(14, 17),
+    "normal_len": slice(17, 18),   # backward residual (reference normal_length)
 }
-OUT_DIM = 17
+OUT_DIM = 18
 OUT_PAD = 32
 
 
@@ -85,7 +86,8 @@ def _forward_kernel(
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
-    count = tile_count_ref[t]
+    # cap kept identical to the backward kernel's checkpoint capacity
+    count = jnp.minimum(tile_count_ref[t], chunk * 512)
 
     focal_x = params_ref[0]
     focal_y = params_ref[1]
@@ -231,11 +233,313 @@ def _forward_kernel(
 
     packed = jnp.concatenate(
         [color, weight, state[0, :].reshape(PIX, 1), exp_coord, m_coord,
-         exp_depth, mdepth, tongue, out_normal],
+         exp_depth, mdepth, tongue, out_normal, n_len],
         axis=1,
     )  # [PIX, OUT_DIM]
     packed = jnp.pad(packed, ((0, 0), (0, OUT_PAD - OUT_DIM)))
     out_ref[0] = packed
+
+
+def _backward_kernel(
+    # scalar prefetch
+    tile_start_ref, tile_count_ref, params_ref,
+    # tensor inputs
+    payload_hbm, packed_ref, cot_ref,
+    # outputs
+    dpay_hbm,
+    # scratch
+    buf, sem, obuf, osem, tchk, state,
+    *, chunk: int, max_chunks: int,
+):
+    """Gradient of the tile forward pass w.r.t. the pair payload.
+
+    Two passes over the tile's chunks (the TPU analogue of the reference
+    backward.cu:631-1016 back-to-front re-traversal):
+      pass A (front-to-back, cheap): recompute transmittance checkpoints at
+        chunk boundaries;
+      pass B (back-to-front): recompute alphas/weights per chunk, assemble the
+        per-pair payload gradient rows with the same three-matmul structure as
+        the forward, chain the alpha gradient with a suffix-sum carry, and
+        write the rows (each pair belongs to exactly one tile, so writes are
+        race-free — deterministic, unlike the reference's atomics).
+    """
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = jnp.minimum(tile_count_ref[t], chunk * max_chunks)
+
+    focal_x = params_ref[0]
+    focal_y = params_ref[1]
+    half_w = params_ref[2]
+    half_h = params_ref[3]
+    grid_x = params_ref[4].astype(jnp.int32)
+
+    tx = ((t % grid_x) * TILE).astype(jnp.float32)
+    ty = ((t // grid_x) * TILE).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    pxf_col = tx + (lane % TILE).astype(jnp.float32)
+    pyf_col = ty + (lane // TILE).astype(jnp.float32)
+    pxf = pxf_col.reshape(1, PIX)
+    pyf = pyf_col.reshape(1, PIX)
+    u_pix = (pxf_col - half_w) / focal_x
+    v_pix = (pyf_col - half_h) / focal_y
+    ln = jnp.sqrt(u_pix * u_pix + v_pix * v_pix + 1.0).reshape(PIX)  # [PIX]
+
+    S = PAYLOAD_SLICES
+    OC = OUT_CHANNELS
+    n_chunks = pl.cdiv(count, chunk)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (chunk, PIX), 0)
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            payload_hbm.at[pl.ds(start + c * chunk, chunk)],
+            buf.at[slot], sem.at[slot])
+
+    def alphas_of(block, c):
+        xy_x = block[:, S["mean2d"].start:S["mean2d"].start + 1]
+        xy_y = block[:, S["mean2d"].start + 1:S["mean2d"].start + 2]
+        c0 = block[:, S["conic"].start:S["conic"].start + 1]
+        c1 = block[:, S["conic"].start + 1:S["conic"].start + 2]
+        c2 = block[:, S["conic"].start + 2:S["conic"].start + 3]
+        op = block[:, S["opacity"]]
+        dx = xy_x - pxf
+        dy = xy_y - pyf
+        power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
+        alpha_raw = op * jnp.exp(power)
+        alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+        inrow = (c * chunk + rowid) < count
+        passes = inrow & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        a = jnp.where(passes, alpha, 0.0)
+        return dx, dy, power, alpha_raw, alpha, passes, a, (c0, c1, c2)
+
+    # ---- pass A: transmittance checkpoints --------------------------------
+    tchk[0] = jnp.ones((PIX,), jnp.float32)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body_a(c, _):
+        slot = jax.lax.rem(c, 2)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        get_dma(slot, c).wait()
+        block = buf[slot]
+        _dx, _dy, _pw, _ar, _al, passes, a, _con = alphas_of(block, c)
+        om = 1.0 - a
+        t_carry = tchk[c].reshape(1, PIX)
+        cum_raw = _cumprod_sublane(om)
+        p_incl = t_carry * cum_raw
+        include = passes & (p_incl >= T_STOP)
+        om_eff = jnp.where(include, om, 1.0)
+        cum_eff = _cumprod_sublane(om_eff)
+        tchk[c + 1] = (t_carry * cum_eff[chunk - 1:chunk, :]).reshape(PIX)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body_a, 0)
+
+    # ---- un-finalize the output cotangents --------------------------------
+    pk = packed_ref[0]       # [PIX, OUT_PAD]
+    ct = cot_ref[0]
+    W = pk[:, OC["weight"]][:, 0]                     # [PIX]
+    anyc = W > 0.0
+    safe_W = jnp.where(anyc, W, 1.0)
+    t_fin = pk[:, OC["t_final"]][:, 0]
+    cot_W = ct[:, OC["weight"]][:, 0]
+    cot_T = ct[:, OC["t_final"]][:, 0]
+
+    cot_rgb = ct[:, OC["color"]]                      # [PIX, 3]
+    cot_tng = ct[:, OC["tongue"]][:, 0]
+
+    ec = pk[:, OC["coord"]]                           # already divided
+    cot_ec = ct[:, OC["coord"]]
+    cot_Ac = jnp.where(anyc[:, None], cot_ec / safe_W[:, None], 0.0)
+    cot_W = cot_W - jnp.where(anyc, jnp.sum(cot_ec * ec, axis=1) / safe_W, 0.0)
+
+    ed = pk[:, OC["depth"]][:, 0]
+    cot_ed = ct[:, OC["depth"]][:, 0]
+    cot_Ad = jnp.where(anyc, cot_ed / (ln * safe_W), 0.0)
+    cot_W = cot_W - jnp.where(anyc, cot_ed * ed / safe_W, 0.0)
+
+    cot_mt = jnp.where(anyc, ct[:, OC["mdepth"]][:, 0] / ln, 0.0)
+    cot_mc = jnp.where(anyc[:, None], ct[:, OC["mcoord"]], 0.0)
+
+    nrm = pk[:, OC["normal"]]
+    nlen = pk[:, OC["normal_len"]][:, 0]
+    cot_nrm = ct[:, OC["normal"]]
+    inv_len = jnp.where(anyc, 1.0 / jnp.maximum(nlen, NORMALIZE_EPS), 0.0)
+    ndot = jnp.sum(nrm * cot_nrm, axis=1)
+    degen = nlen * nlen < 1e-30
+    cot_An = jnp.where(
+        degen[:, None],
+        cot_nrm * jnp.where(anyc, 1.0 / NORMALIZE_EPS, 0.0)[:, None],
+        (cot_nrm - nrm * ndot[:, None]) * inv_len[:, None])
+
+    # cotangent matrices for the three-matmul structure: G = B@M1^T + dx*(B@M2^T)
+    # + dy*(B@M3^T); and dB += w@M1 + (w dx)@M2 + (w dy)@M3. Built by pure
+    # concatenation along the payload column layout (Mosaic has no scatter):
+    # [0:2 mean2d][2:5 conic][5 opacity][6:9 rgb][9 tongue][10:13 vp]
+    # [13:19 cp][19:21 rp][21 ts][22:25 normal][25 ones][pad]
+    F = PAYLOAD_PAD
+    z1 = jnp.zeros((PIX, 1), jnp.float32)
+
+    def build_m(rgb3, tng1, vp3, cp6, rp2, ts1, n3, ones1):
+        return jnp.concatenate(
+            [jnp.zeros((PIX, 6), jnp.float32), rgb3, tng1, vp3, cp6, rp2,
+             ts1, n3, ones1, jnp.zeros((PIX, F - 26), jnp.float32)], axis=1)
+
+    zero3 = jnp.zeros((PIX, 3), jnp.float32)
+    zero6 = jnp.zeros((PIX, 6), jnp.float32)
+    zero2 = jnp.zeros((PIX, 2), jnp.float32)
+    ac0 = cot_Ac[:, 0:1]
+    ac1 = cot_Ac[:, 1:2]
+    ac2 = cot_Ac[:, 2:3]
+    ad1 = cot_Ad[:, None]
+    M1 = build_m(cot_rgb, cot_tng[:, None], cot_Ac, zero6, zero2, ad1,
+                 cot_An, cot_W[:, None])
+    cp_x = jnp.concatenate([ac0, z1, ac1, z1, ac2, z1], axis=1)
+    cp_y = jnp.concatenate([z1, ac0, z1, ac1, z1, ac2], axis=1)
+    M2 = build_m(zero3, z1, zero3, cp_x, jnp.concatenate([ad1, z1], 1), z1,
+                 zero3, z1)
+    M3 = build_m(zero3, z1, zero3, cp_y, jnp.concatenate([z1, ad1], 1), z1,
+                 zero3, z1)
+    # median cotangent matrices (routed to the selected splat only)
+    mc0 = cot_mc[:, 0:1]
+    mc1 = cot_mc[:, 1:2]
+    mc2 = cot_mc[:, 2:3]
+    mt1 = cot_mt[:, None]
+    N1 = build_m(zero3, z1, cot_mc, zero6, zero2, mt1, zero3, z1)
+    N2 = build_m(zero3, z1, zero3,
+                 jnp.concatenate([mc0, z1, mc1, z1, mc2, z1], 1),
+                 jnp.concatenate([mt1, z1], 1), z1, zero3, z1)
+    N3 = build_m(zero3, z1, zero3,
+                 jnp.concatenate([z1, mc0, z1, mc1, z1, mc2], 1),
+                 jnp.concatenate([z1, mt1], 1), z1, zero3, z1)
+
+    dims = (((1,), (1,)), ((), ()))  # contract feature axis: [C,F]x[PIX,F]->[C,PIX]
+
+    state[0, :] = jnp.zeros((PIX,), jnp.float32)      # suffix carry S
+    state[1, :] = jnp.zeros((PIX,), jnp.float32)      # med_done flag
+
+    def body_b(i, _):
+        c = n_chunks - 1 - i
+        slot = jax.lax.rem(c, 2)
+        get_dma(slot, c).start()
+        get_dma(slot, c).wait()
+        block = buf[slot]
+        dx, dy, power, alpha_raw, alpha, passes, a, (c0, c1, c2) = alphas_of(block, c)
+        om = 1.0 - a
+        t_carry = tchk[c].reshape(1, PIX)
+        cum_raw = _cumprod_sublane(om)
+        p_incl = t_carry * cum_raw
+        p_excl = p_incl / om
+        include = passes & (p_incl >= T_STOP)
+        w = jnp.where(include, a * p_excl, 0.0)
+
+        mm = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+        G1 = mm(block, M1)     # [C, PIX]
+        G2 = mm(block, M2)
+        G3 = mm(block, M3)
+        G = G1 + dx * G2 + dy * G3
+
+        # median selection for this chunk (route once, from the back)
+        mmask = include & (p_excl > MEDIAN_T)
+        msum = _cumsum_sublane(mmask.astype(jnp.float32))
+        total = msum[chunk - 1:chunk, :]
+        sel_raw = jnp.where(mmask & (msum == total), 1.0, 0.0)
+        not_done = (state[1, :] == 0.0).reshape(1, PIX)
+        sel = sel_raw * not_done
+        state[1, :] = jnp.maximum(state[1, :], (total > 0.0).reshape(PIX))
+
+        H1 = mm(block, N1)
+        H2 = mm(block, N2)
+        H3 = mm(block, N3)
+        Gm = H1 + dx * H2 + dy * H3
+
+        # alpha gradient: da = inc * (P_excl*G - S_after/(1-a) - cotT*Tfin/(1-a))
+        u = w * G
+        pref = _cumsum_sublane(u)
+        total_u = pref[chunk - 1:chunk, :]
+        s_after = state[0, :].reshape(1, PIX) + (total_u - pref)
+        tfin_term = (cot_T * t_fin).reshape(1, PIX)
+        da = jnp.where(include,
+                       p_excl * G - (s_after + tfin_term) / om, 0.0)
+        state[0, :] = (state[0, :].reshape(1, PIX) + total_u).reshape(PIX)
+
+        notcl = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
+        dpow = da * alpha * notcl
+        dop_pp = da * jnp.exp(power) * notcl
+        # accumulate per-pair rows: dB = w@M1 + (w dx)@M2 + (w dy)@M3 (+ median)
+        def acc(Wmat, M):  # [C,PIX] x [PIX,F] -> [C,F]
+            return jax.lax.dot_general(Wmat, M, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        dB = acc(w, M1) + acc(w * dx, M2) + acc(w * dy, M3)
+        dB = dB + acc(sel, N1) + acc(sel * dx, N2) + acc(sel * dy, N3)
+
+        ddx = dpow * (-c0 * dx - c1 * dy) + w * G2 + sel * (H2)
+        ddy = dpow * (-c2 * dy - c1 * dx) + w * G3 + sel * (H3)
+        dxy_x = jnp.sum(ddx, axis=1, keepdims=True)   # [C,1]
+        dxy_y = jnp.sum(ddy, axis=1, keepdims=True)
+        dc0 = jnp.sum(-0.5 * dx * dx * dpow, axis=1, keepdims=True)
+        dc1 = jnp.sum(-dx * dy * dpow, axis=1, keepdims=True)
+        dc2 = jnp.sum(-0.5 * dy * dy * dpow, axis=1, keepdims=True)
+        dop = jnp.sum(dop_pp, axis=1, keepdims=True)
+
+        # columns 0..5 are exactly [mean2d(2), conic(3), opacity(1)]
+        head = jnp.concatenate([dxy_x, dxy_y, dc0, dc1, dc2, dop], axis=1)
+        dB = dB + jnp.concatenate(
+            [head, jnp.zeros((chunk, F - 6), jnp.float32)], axis=1)
+
+        obuf[:] = dB
+        out = pltpu.make_async_copy(
+            obuf, dpay_hbm.at[pl.ds(start + c * chunk, chunk)], osem)
+        out.start()
+        out.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body_b, 0)
+
+
+def rasterize_pallas_backward(
+    pair_payload, tile_start, tile_count, packed, cot_packed,
+    *, num_tiles, grid_x, width, height, focal_x, focal_y,
+    chunk: int = 128, max_chunks: int = 512, interpret: bool = False,
+):
+    """Returns d pair_payload [K+chunk, PAYLOAD_PAD]."""
+    params = jnp.array(
+        [focal_x, focal_y, width / 2.0, height / 2.0, float(grid_x), 0.0],
+        dtype=jnp.float32,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, PAYLOAD_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((chunk, PAYLOAD_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((max_chunks + 1, PIX), jnp.float32),
+            pltpu.VMEM((8, PIX), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_backward_kernel, chunk=chunk, max_chunks=max_chunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pair_payload.shape, jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+        ),
+    )(tile_start, tile_count, params, pair_payload, packed, cot_packed)
 
 
 def rasterize_pallas_forward(

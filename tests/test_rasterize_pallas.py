@@ -66,8 +66,59 @@ def test_pallas_tpu_matches_oracle():
     _parity(interpret=False, atol=1e-2)
 
 
+def _grad_parity(interpret, maxrel):
+    w = h = 48
+    fov = math.radians(60.0)
+    cam = look_at_camera((0, 0, 0), (0, 0, 1), (0, -1, 0), fov, fov, w, h).matrices()
+    means, scales, quats, opac, rgb, tongue = scene(80, seed=11)
+    rng = np.random.default_rng(1)
+    target = rng.uniform(0, 1, (3, h, w)).astype(np.float32)
+    bg = jnp.array([0.2, 0.1, 0.4])
+
+    def loss(backend, means_, opac_, rgb_, scales_, quats_):
+        p = project_gaussians(
+            means_, scales_, quats_, opac_, jnp.zeros((80, 16, 3)),
+            viewmatrix=jnp.asarray(cam.world_view),
+            projmatrix=jnp.asarray(cam.full_proj),
+            campos=jnp.asarray(cam.campos), width=w, height=h,
+            tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+            focal_x=cam.focal_x, focal_y=cam.focal_y,
+            kernel_size=0.1, sh_degree=0, colors_precomp=rgb_)
+        cfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x,
+                           focal_y=cam.focal_y, pair_capacity=1 << 12,
+                           chunk=32, backend=backend, interpret=interpret,
+                           max_per_tile=256)
+        out = rasterize(p, jnp.asarray(tongue), bg, cfg)
+        return (jnp.mean(jnp.abs(out.color - target))
+                + 0.2 * jnp.mean(out.expected_depth)
+                + 0.1 * jnp.mean(out.normal ** 2)
+                + 0.1 * jnp.mean(out.median_depth)
+                + 0.05 * jnp.mean(out.expected_coord)
+                + 0.02 * jnp.mean(out.alpha) + 0.02 * jnp.mean(out.tongue))
+
+    args = (jnp.asarray(means), jnp.asarray(opac), jnp.asarray(rgb),
+            jnp.asarray(scales), jnp.asarray(quats))
+    g_ref = jax.grad(lambda *a: loss("reference", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    for gr, gp in zip(g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        assert np.all(np.isfinite(gp))
+        scale_ = np.abs(gr).max() + 1e-10
+        assert np.abs(gp - gr).max() / scale_ < maxrel
+
+
+def test_pallas_backward_matches_oracle_interpret():
+    """Hand-written pallas backward vs oracle autodiff (exact semantics)."""
+    _grad_parity(interpret=True, maxrel=1e-5)
+
+
+@pytest.mark.tpu
+def test_pallas_backward_matches_oracle_tpu():
+    _grad_parity(interpret=False, maxrel=5e-2)
+
+
 def test_pallas_gradient_path():
-    """custom_vjp backward (via the XLA backend) produces finite grads."""
+    """custom_vjp backward produces finite grads through the full pipeline."""
     w = h = 32
     fov = math.radians(60.0)
     cam = look_at_camera((0, 0, 0), (0, 0, 1), (0, -1, 0), fov, fov, w, h).matrices()
