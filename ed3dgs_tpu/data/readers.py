@@ -174,9 +174,17 @@ def read_technicolor_scene(path, duration=50, **kw) -> SceneInfo:
                              principal_point=True, **kw)
 
 
+def read_nerfies_scene(path, duration=None, **kw) -> SceneInfo:
+    from .hyper import read_hyper_scene
+    kw.pop("image_loader", None)  # hyper has its own loader
+    return read_hyper_scene(path, duration=duration, **kw)
+
+
 SCENE_READERS = {
     "dynerf": read_dynerf_scene,
     "nersemble": read_nersemble_scene,
     "technicolor": read_technicolor_scene,
     "colmap": read_dynerf_scene,
+    "nerfies": read_nerfies_scene,
+    "hypernerf": read_nerfies_scene,
 }

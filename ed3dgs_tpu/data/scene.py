@@ -77,7 +77,7 @@ class Scene:
             raise ValueError(f"unknown loader '{loader}'")
         defaults = {"dynerf": 300, "nersemble": 110, "technicolor": 50,
                     "colmap": 300}
-        duration = duration or defaults[loader]
+        duration = duration or defaults.get(loader)  # None -> reader default
         image_loader = make_image_loader(
             white_background=model_cfg.white_background,
             load_tongue=model_cfg.tongue_mask_loss_enabled)

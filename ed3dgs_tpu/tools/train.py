@@ -194,10 +194,16 @@ def run_training(cfg, args):
     ema_loss = 0.0
     log_path = os.path.join(model.model_path, "training_time.txt")
 
+    def pick(c, f):
+        cam = by_key.get((cam_ids[c % len(cam_ids)], int(f) % maxtime))
+        if cam is None:  # sparse frame ids (nerfies warp ids): nearest frame
+            options = [x for x in train_cams if x.cam_no == cam_ids[c % len(cam_ids)]]
+            cam = min(options, key=lambda x: abs(x.frame_no - int(f) % maxtime))
+        return cam
+
     for iteration in range(1, final_iter + 1):
         cams_idx, frames, use_ssim = sampler.sample(iteration, final_iter)
-        cams = [by_key[(cam_ids[c % len(cam_ids)], int(f) % maxtime)]
-                for c, f in zip(cams_idx, frames)]
+        cams = [pick(c, f) for c, f in zip(cams_idx, frames)]
         batch = stage_batch(cams, maxtime, use_ssim, model.tongue_mask_loss_enabled)
         state, aux, metrics = step_fn(state, aux, batch, knn_cache)
 

@@ -75,7 +75,7 @@ class CameraSampler:
 
     def record_loss(self, cam_nos, frame_nos, losses):
         for c, f, l in zip(cam_nos, frame_nos, losses):
-            self.loss_list[c % self.num_cams, f] = l
+            self.loss_list[c % self.num_cams, f % self.maxtime] = l
 
     def sample(self, iteration: int, final_iter: int):
         """Returns (cam_nos, frame_nos, use_ssim) index arrays of batch_size."""
