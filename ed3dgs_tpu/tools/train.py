@@ -201,9 +201,29 @@ def run_training(cfg, args):
             cam = min(options, key=lambda x: abs(x.frame_no - int(f) % maxtime))
         return cam
 
-    for iteration in range(1, final_iter + 1):
+    # native async image staging: decode iteration i+1's batch on C++ worker
+    # threads while the device runs step i (one-step-stale error sampling;
+    # the reference's lazy PIL load stalls the loop instead, train.py:172)
+    from ..data.native_staging import Stager
+    stager = Stager(workers=2, load_tongue=model.tongue_mask_loss_enabled) \
+        if Stager.available() else None
+
+    def sample_batch(iteration):
         cams_idx, frames, use_ssim = sampler.sample(iteration, final_iter)
         cams = [pick(c, f) for c, f in zip(cams_idx, frames)]
+        if stager is not None:
+            for c in cams:
+                stager.submit(c)
+        return cams, use_ssim
+
+    pending = sample_batch(1)
+    for iteration in range(1, final_iter + 1):
+        cams, use_ssim = pending
+        if stager is not None:
+            for c in cams:
+                stager.fetch_into(c)
+        if iteration < final_iter:
+            pending = sample_batch(iteration + 1)
         batch = stage_batch(cams, maxtime, use_ssim, model.tongue_mask_loss_enabled)
         state, aux, metrics = step_fn(state, aux, batch, knn_cache)
 
