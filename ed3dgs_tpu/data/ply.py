@@ -119,18 +119,31 @@ def write_ply(path: str, names, arrays, element: str = "vertex"):
         f.write(rec.tobytes())
 
 
-def write_mesh_ply(path: str, vertices: np.ndarray, faces: np.ndarray):
-    """Triangle mesh (binary little endian): float vertices + uchar-list faces."""
+def write_mesh_ply(path: str, vertices: np.ndarray, faces: np.ndarray,
+                   vertex_colors: np.ndarray = None):
+    """Triangle mesh (binary little endian): float vertices (+ uchar colors)
+    + uchar-list faces."""
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int32)
     with open(path, "wb") as f:
         f.write(b"ply\nformat binary_little_endian 1.0\n")
         f.write(f"element vertex {len(vertices)}\n".encode())
         f.write(b"property float x\nproperty float y\nproperty float z\n")
+        if vertex_colors is not None:
+            f.write(b"property uchar red\nproperty uchar green\nproperty uchar blue\n")
         f.write(f"element face {len(faces)}\n".encode())
         f.write(b"property list uchar int vertex_indices\n")
         f.write(b"end_header\n")
-        f.write(vertices.astype("<f4").tobytes())
+        if vertex_colors is None:
+            f.write(vertices.astype("<f4").tobytes())
+        else:
+            cols = np.clip(np.asarray(vertex_colors) * 255.0, 0, 255).astype(np.uint8)
+            rec = np.zeros(len(vertices), dtype=np.dtype(
+                [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                 ("red", "u1"), ("green", "u1"), ("blue", "u1")]))
+            rec["x"], rec["y"], rec["z"] = vertices.T
+            rec["red"], rec["green"], rec["blue"] = cols.T
+            f.write(rec.tobytes())
         rec = np.zeros(len(faces), dtype=np.dtype([("n", "u1"), ("v", "<i4", 3)]))
         rec["n"] = 3
         rec["v"] = faces
