@@ -147,21 +147,34 @@ class FullConfig:
     opt: OptimizationConfig = field(default_factory=OptimizationConfig)
 
 
-def apply_overrides(cfg, overrides: dict):
+def apply_overrides(cfg, overrides: dict, strict: bool = False):
     """Apply a flat {field: value} dict across the four groups (the TPU
     replacement for the reference's mmcv merge_hparams, utils/params_utils.py:1),
-    plus nested {group: {field: value}} form."""
+    plus nested {group: {field: value}} form. Like the reference's
+    merge_hparams, keys no group declares are dropped (with a warning) so the
+    reference's own per-scene config files load unchanged."""
+    import warnings
+
     groups = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
-    for key, value in overrides.items():
-        if key in groups and isinstance(value, dict):
-            for k2, v2 in value.items():
-                setattr(groups[key], k2, v2)
-            continue
+
+    def set_anywhere(key, value):
         hit = False
         for g in groups.values():
             if hasattr(g, key):
                 setattr(g, key, value)
                 hit = True
-        if not hit and key not in ("_base_",):
-            raise KeyError(f"unknown config key: {key}")
+        return hit
+
+    for key, value in overrides.items():
+        if key in groups and isinstance(value, dict):
+            for k2, v2 in value.items():
+                if not set_anywhere(k2, v2):
+                    if strict:
+                        raise KeyError(f"unknown config key: {key}.{k2}")
+                    warnings.warn(f"dropping unknown config key {key}.{k2}")
+            continue
+        if not set_anywhere(key, value) and key not in ("_base_",):
+            if strict:
+                raise KeyError(f"unknown config key: {key}")
+            warnings.warn(f"dropping unknown config key {key}")
     return cfg
