@@ -77,8 +77,11 @@ def mean_sqdist_3nn(points: jnp.ndarray, mask: jnp.ndarray | None = None,
     nor serve as neighbors); their output is 0.
     """
     if mask is not None:
-        big = jnp.where(mask[:, None], points, 1e12 + jnp.arange(points.shape[0], dtype=jnp.float32)[:, None])
+        # far-shell sentinel kept ~1e3: larger values cancel catastrophically
+        # in the |a|^2+|b|^2-2ab expansion (f32)
+        big = jnp.where(mask[:, None], points,
+                        1e3 + 1e-3 * jnp.arange(points.shape[0], dtype=jnp.float32)[:, None])
         d2, _ = knn(big, k=3, block_size=block_size)
-        return jnp.where(mask, jnp.mean(d2, axis=1), 0.0)
+        return jnp.where(mask, jnp.maximum(jnp.mean(d2, axis=1), 0.0), 0.0)
     d2, _ = knn(points, k=3, block_size=block_size)
     return jnp.mean(d2, axis=1)

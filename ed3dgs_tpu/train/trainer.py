@@ -69,15 +69,19 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     tongue = jnp.round(aux.tongue_class[:, 0]) > 0.5
     mask = aux.alive & ~tongue
     C = aux.alive.shape[0]
-    far = 1e6 * (1.0 + jnp.arange(C, dtype=jnp.float32))[:, None]
+    # masked slots go to a far shell with small per-slot spread. The shell must
+    # stay ~1e3, not 1e6: the |a|^2+|b|^2-2ab distance expansion cancels
+    # catastrophically in f32 for huge coordinates (measured d2 ~ -3e20 at 1e6,
+    # whose exp(-2000*d2) is inf) — and distances are clamped >= 0 regardless.
+    far = 1e3 + 1e-3 * jnp.arange(C, dtype=jnp.float32)[:, None]
     pts = jnp.where(mask[:, None], params.xyz, far)
     d2, idx = knn_op(pts, k=k)
-    w = jnp.where(mask[:, None], jnp.exp(-2000.0 * d2), 0.0)
+    w = jnp.where(mask[:, None], jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
     if tongue_enabled:
         tmask = aux.alive & tongue
         tpts = jnp.where(tmask[:, None], params.xyz, -far)
         td2, tidx = knn_op(tpts, k=k)
-        tw = jnp.where(tmask[:, None], jnp.exp(-2000.0 * td2), 0.0)
+        tw = jnp.where(tmask[:, None], jnp.exp(-2000.0 * jnp.maximum(td2, 0.0)), 0.0)
     else:
         tidx, tw = idx, jnp.zeros_like(w)
     return KnnCache(idx, w, tidx, tw)
