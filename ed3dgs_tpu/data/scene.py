@@ -22,11 +22,14 @@ from .readers import SCENE_READERS, SceneInfo, make_image_loader
 
 
 def flatten_pytree(tree, prefix=""):
-    """Nested dict/list pytree of arrays -> flat {path: array}."""
+    """Nested dict/list/namedtuple pytree of arrays -> flat {path: array}."""
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{k}/"))
+    elif hasattr(tree, "_fields"):  # NamedTuple: stable field names
+        for k in tree._fields:
+            out.update(flatten_pytree(getattr(tree, k), f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(flatten_pytree(v, f"{prefix}{i}/"))
@@ -40,6 +43,10 @@ def unflatten_into(template, flat, prefix=""):
     import jax.numpy as jnp
     if isinstance(template, dict):
         return {k: unflatten_into(v, flat, f"{prefix}{k}/") for k, v in template.items()}
+    if hasattr(template, "_fields"):
+        return type(template)(*[unflatten_into(getattr(template, k), flat,
+                                               f"{prefix}{k}/")
+                                for k in template._fields])
     if isinstance(template, (list, tuple)):
         seq = [unflatten_into(v, flat, f"{prefix}{i}/") for i, v in enumerate(template)]
         return type(template)(seq)

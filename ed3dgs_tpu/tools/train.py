@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--backend", default=None, choices=["auto", "xla", "pallas"])
     p.add_argument("--save_iterations", type=int, nargs="+", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="+", default=[])
+    p.add_argument("--start_checkpoint", default=None,
+                   help="resume from a chkpnt<N>.npz (params + Adam state)")
     p.add_argument("--test_every", type=int, default=0)
     p.add_argument("--seed", type=int, default=6666)
     p.add_argument("--quiet", action="store_true")
@@ -146,6 +148,11 @@ def run_training(cfg, args):
     state, optimizer = init_train_state(scene.params, hidden, opt,
                                         scene.cameras_extent, seed=args.seed)
     aux = scene.aux
+    first_iter = 1
+    if args.start_checkpoint:
+        state, aux, first_iter = load_checkpoint(args.start_checkpoint, state, aux)
+        print(f"resumed from {args.start_checkpoint} at iteration {first_iter}",
+              flush=True)
     step_fn = make_train_step(setup, opt, optimizer)
     densify_fn = make_densify_step(opt, opt.percent_dense, scene.cameras_extent)
 
@@ -216,8 +223,8 @@ def run_training(cfg, args):
                 stager.submit(c)
         return cams, use_ssim
 
-    pending = sample_batch(1)
-    for iteration in range(1, final_iter + 1):
+    pending = sample_batch(first_iter)
+    for iteration in range(first_iter, final_iter + 1):
         cams, use_ssim = pending
         if stager is not None:
             for c in cams:
@@ -278,6 +285,43 @@ def save_checkpoint(model_path, iteration, state, aux):
     flat = {k: v for k, v in flat.items() if v.dtype != object}
     np.savez(os.path.join(model_path, f"chkpnt{iteration}.npz"),
              iteration=iteration, **flat)
+
+
+def load_checkpoint(path, state, aux):
+    """Restore a chkpnt<N>.npz into a freshly-built state (the reference's
+    restore path, minus its field-order bug, gaussian_model.py:91-110)."""
+    import jax
+    from ..data.scene import unflatten_into
+    from ..train.optim import TrainState
+
+    with np.load(path) as data:
+        flat = dict(data)
+    iteration = int(flat.pop("iteration"))
+    tmpl = {"params": state.params, "opt_state": state.opt_state,
+            "aux": aux._asdict()}
+    # numeric leaves restore; non-array leaves (schedule counts etc.) keep the
+    # freshly-initialized value when absent from the archive
+    def restore(template, prefix=""):
+        if isinstance(template, dict):
+            return {k: restore(v, f"{prefix}{k}/") for k, v in template.items()}
+        if hasattr(template, "_fields"):
+            return type(template)(*[restore(getattr(template, k), f"{prefix}{k}/")
+                                    for k in template._fields])
+        if isinstance(template, (list, tuple)):
+            return type(template)([restore(v, f"{prefix}{i}/")
+                                   for i, v in enumerate(template)])
+        key = prefix[:-1]
+        if key in flat:
+            import jax.numpy as jnp
+            return jnp.asarray(flat[key])
+        return template
+
+    restored = restore(tmpl)
+    new_state = TrainState(params=restored["params"],
+                           opt_state=restored["opt_state"],
+                           iteration=state.iteration * 0 + iteration)
+    new_aux = type(aux)(**restored["aux"])
+    return new_state, new_aux, iteration + 1
 
 
 if __name__ == "__main__":
