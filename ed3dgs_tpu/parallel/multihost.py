@@ -1,0 +1,61 @@
+"""Multi-host (DCN) scaling helpers.
+
+The scaling recipe for this workload across hosts (SURVEY.md section 2.11):
+cameras are embarrassingly parallel — each host stages and renders its own
+camera shard, and the only cross-host traffic is the per-step gradient psum,
+which GSPMD already emits for the replicated deformation parameters and the
+"gauss"-sharded cloud. So multi-host = jax.distributed.initialize + a global
+mesh whose "data" axis spans hosts + per-host camera lists.
+
+Single-host runs are unaffected (initialize_multihost is a no-op without a
+coordinator); the CPU test suite emulates the mesh with
+--xla_force_host_platform_device_count.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+
+from .mesh import make_mesh
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Initialize jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Returns this host's process index (0 when single-host)."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+        process_id=process_id if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", 0)))
+    return jax.process_index()
+
+
+def global_mesh(data: Optional[int] = None, gauss: Optional[int] = None):
+    """Mesh over ALL devices of all hosts. Defaults: "data" spans hosts
+    (camera parallelism over DCN), "gauss" spans the chips within a host
+    (splat parallelism over ICI)."""
+    n = len(jax.devices())
+    per_host = len(jax.local_devices())
+    data = data or max(n // per_host, 1)
+    gauss = gauss or (n // data)
+    return make_mesh(data=data, gauss=gauss)
+
+
+def host_camera_shard(cameras: List, round_robin: bool = True) -> List:
+    """This host's slice of the camera list (each host decodes only its own
+    images; the assembled global batch is sharded along "data")."""
+    i, n = jax.process_index(), jax.process_count()
+    if n == 1:
+        return list(cameras)
+    return list(cameras[i::n]) if round_robin else list(
+        cameras[i * len(cameras) // n:(i + 1) * len(cameras) // n])
