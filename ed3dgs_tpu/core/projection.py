@@ -30,6 +30,7 @@ from .sym3 import sym3_pseudo_inverse_min
 
 TILE = 16  # BLOCK_X = BLOCK_Y (reference config.h:16-17)
 NEAR_PLANE = 0.2
+ALPHA_MIN = 1.0 / 255.0  # blend skip threshold; must match ops.common.ALPHA_MIN
 
 
 class ProjectedGaussians(NamedTuple):
@@ -145,13 +146,25 @@ def project_gaussians(
         mean2d = mean2d + mean2d_offset
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
-    # int() in the reference truncates toward zero; clamping to >= 0 first makes
-    # floor-division equivalent for every case that survives the max.
-    rmin_x = jnp.clip(((mean2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((mean2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((mean2d[:, 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((mean2d[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
+    # Tile rect: instead of the reference's opacity-blind 3*sigma_max square
+    # (forward.cu:398-403), use the axis-aligned bbox of the *exact* level set
+    # {d : alpha(d) >= 1/255}. A pixel contributes iff
+    #   op_eff * exp(-q(d)) >= 1/255  <=>  q(d) <= ln(255 * op_eff) =: cmax,
+    # and the bbox half-extents of {q <= cmax} are sqrt(2*cmax*Sigma_blur_ii).
+    # Strictly conservative (identical outputs/grads) yet far tighter for
+    # anisotropic or faint splats, so every downstream stage (binning, sort,
+    # gather, tile kernel) does proportionally less work.
+    op_eff = opacities.astype(f32) * coef
+    cmax = jnp.log(jnp.maximum(op_eff, 1e-12) * (1.0 / ALPHA_MIN))
+    safe_c = 2.0 * jnp.maximum(cmax, 0.0)
+    ex = jnp.sqrt(safe_c * jnp.maximum(ck00, 0.0)) * (1.0 + 1e-6) + 0.3
+    ey = jnp.sqrt(safe_c * jnp.maximum(ck11, 0.0)) * (1.0 + 1e-6) + 0.3
+    rmin_x = jnp.clip(((mean2d[:, 0] - ex) / TILE).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((mean2d[:, 1] - ey) / TILE).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((mean2d[:, 0] + ex + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((mean2d[:, 1] + ey + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y)
     tiles = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    tiles = jnp.where(cmax > 0.0, tiles, 0)
 
     valid = in_frustum & nonzero_det & (tiles > 0)
     if mask is not None:
