@@ -80,8 +80,8 @@ def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
 # plain jnp upstream (the gather's transpose gives the deterministic
 # per-gaussian scatter-add that replaces the reference's atomics).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _packed_tiles(pair_payload, tile_start, tile_count, meta):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _packed_tiles(pair_payload, tile_start, tile_count, pair_tile, meta):
     return _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
 
 
@@ -93,24 +93,31 @@ def _packed_tiles_impl(pair_payload, tile_start, tile_count, meta):
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
 
 
-def _packed_tiles_fwd(pair_payload, tile_start, tile_count, meta):
+def _packed_tiles_fwd(pair_payload, tile_start, tile_count, pair_tile, meta):
     packed = _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
-    return packed, (pair_payload, tile_start, tile_count, packed)
+    return packed, (pair_payload, tile_start, tile_count, pair_tile, packed)
 
 
 def _packed_tiles_bwd(meta, res, cot):
     (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
-    pair_payload, tile_start, tile_count, packed = res
-    dpay = rp.rasterize_pallas_backward(
+    pair_payload, tile_start, tile_count, pair_tile, packed = res
+    dpay, clive = rp.rasterize_pallas_backward(
         pair_payload, tile_start, tile_count, packed, cot,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
-    # zero rows never owned by a tile (sentinel padding: uninitialized memory)
-    covered = tile_start[-1] + jnp.minimum(tile_count[-1], chunk * 512)
+    # The kernel writes only each tile's live chunks; every other row
+    # (saturation-dead chunks, sentinel padding) is uninitialized memory with
+    # an exactly-zero true gradient — mask it here (fuses into one cheap
+    # elementwise pass; the barrier stops XLA from simplifying it away).
     K = dpay.shape[0]
     row = jax.lax.optimization_barrier(jnp.arange(K, dtype=jnp.int32))
-    dpay = jnp.where((row < covered)[:, None], dpay, 0.0)
-    return dpay, None, None
+    ts_pad = jnp.concatenate([tile_start, jnp.full((1,), 1 << 30, jnp.int32)])
+    cl_pad = jnp.concatenate([clive[:num_tiles, 0],
+                              jnp.zeros((1,), jnp.int32)])
+    pt = jnp.minimum(pair_tile, num_tiles)       # sentinel -> the dead row
+    live = (row >= ts_pad[pt]) & (row - ts_pad[pt] < cl_pad[pt] * chunk)
+    dpay = jnp.where(live[:, None], dpay, 0.0)
+    return dpay, None, None, None
 
 
 _packed_tiles.defvjp(_packed_tiles_fwd, _packed_tiles_bwd)
@@ -124,9 +131,13 @@ def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> 
     pair_payload = payload_sorted[bins.pair_gauss]         # [K, F] pair order
     pair_payload = jnp.pad(pair_payload, ((0, cfg.chunk), (0, 0)))
     grid_x, grid_y = bins.grid
-    meta = (grid_x * grid_y, grid_x, cfg.width, cfg.height,
+    num_tiles = grid_x * grid_y
+    pair_tile = jnp.pad(bins.pair_tile, (0, cfg.chunk),
+                        constant_values=num_tiles)
+    meta = (num_tiles, grid_x, cfg.width, cfg.height,
             cfg.focal_x, cfg.focal_y, cfg.chunk, cfg.interpret)
-    packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count, meta)
+    packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count,
+                           pair_tile, meta)
     return _unpack_pallas(packed, bg, cfg, bins.grid)
 
 

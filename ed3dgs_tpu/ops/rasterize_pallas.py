@@ -73,6 +73,20 @@ def _cumsum_sublane(x):
     return _scan_sublane(x, jnp.add, 0.0)
 
 
+def _prod_all_sublane(x):
+    """Product over axis 0 of [C, P], broadcast back to every row.
+
+    log2(C) unmasked cyclic-roll doubling steps (pure multiplies) — cheaper
+    than a masked scan when only the total is needed. Requires C power of 2.
+    """
+    C = x.shape[0]
+    k = 1
+    while k < C:
+        x = x * pltpu.roll(x, k, axis=0)
+        k *= 2
+    return x
+
+
 def _forward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, params_ref,
@@ -125,7 +139,7 @@ def _forward_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def body(c, _):
+    def body(c, tmax):
         slot = jax.lax.rem(c, 2)
         # double buffering: next chunk's DMA in flight while we blend this one
         @pl.when(c + 1 < n_chunks)
@@ -133,71 +147,75 @@ def _forward_kernel(
             get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
         get_dma(slot, c).wait()
 
-        t_carry = state[0, :].reshape(1, PIX)
-        # skip blending entirely once every pixel saturated
-        @pl.when(jnp.max(t_carry) >= T_STOP)
+        # skip blending once every pixel saturated (front-to-back early out,
+        # forward.cu:668-671); the DMA stream continues so the grid pipeline
+        # stays regular — measured faster than a while_loop early exit
+        @pl.when(tmax >= T_STOP)
         def _():
-            block = buf[slot]  # [C, F]
-            S = PAYLOAD_SLICES
-            xy_x = block[:, S["mean2d"].start:S["mean2d"].start + 1]
-            xy_y = block[:, S["mean2d"].start + 1:S["mean2d"].start + 2]
-            c0 = block[:, S["conic"].start:S["conic"].start + 1]
-            c1 = block[:, S["conic"].start + 1:S["conic"].start + 2]
-            c2 = block[:, S["conic"].start + 2:S["conic"].start + 3]
-            op = block[:, S["opacity"]]
+            compute(c, slot)
+        return jnp.max(state[0, :])
 
-            dx = xy_x - pxf            # [C, PIX]
-            dy = xy_y - pyf
-            power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            inrow = (c * chunk + rowid) < count
-            passes = inrow & (power <= 0.0) & (alpha >= ALPHA_MIN)
-            a = jnp.where(passes, alpha, 0.0)
-            om = 1.0 - a
+    def compute(c, slot):
+        t_carry = state[0, :].reshape(1, PIX)
+        block = buf[slot]  # [C, F]
+        S = PAYLOAD_SLICES
+        xy_x = block[:, S["mean2d"].start:S["mean2d"].start + 1]
+        xy_y = block[:, S["mean2d"].start + 1:S["mean2d"].start + 2]
+        c0 = block[:, S["conic"].start:S["conic"].start + 1]
+        c1 = block[:, S["conic"].start + 1:S["conic"].start + 2]
+        c2 = block[:, S["conic"].start + 2:S["conic"].start + 3]
+        op = block[:, S["opacity"]]
 
-            cum_raw = _cumprod_sublane(om)               # inclusive
-            p_incl = t_carry * cum_raw
-            p_excl = p_incl / om
-            include = passes & (p_incl >= T_STOP)
-            w = jnp.where(include, a * p_excl, 0.0)
+        dx = xy_x - pxf            # [C, PIX]
+        dy = xy_y - pyf
+        power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        inrow = (c * chunk + rowid) < count
+        passes = inrow & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        a = jnp.where(passes, alpha, 0.0)
+        om = 1.0 - a
 
-            om_eff = jnp.where(include, om, 1.0)
-            cum_eff = _cumprod_sublane(om_eff)
-            state[0, :] = (t_carry * cum_eff[chunk - 1:chunk, :]).reshape(PIX)
+        cum_raw = _cumprod_sublane(om)               # inclusive
+        p_incl = t_carry * cum_raw
+        p_excl = p_incl / om
+        include = passes & (p_incl >= T_STOP)
+        w = jnp.where(include, a * p_excl, 0.0)
 
-            dims = (((0,), (0,)), ((), ()))
-            mm = functools.partial(
-                jax.lax.dot_general, dimension_numbers=dims,
-                preferred_element_type=jnp.float32)
-            acc_w[:] = acc_w[:] + mm(w, block)
-            acc_wx[:] = acc_wx[:] + mm(w * dx, block)
-            acc_wy[:] = acc_wy[:] + mm(w * dy, block)
+        om_eff = jnp.where(include, om, 1.0)
+        new_t = (t_carry * _prod_all_sublane(om_eff)[0:1, :]).reshape(PIX)
+        state[0, :] = new_t
 
-            # median selection: last include with transmittance-before > 0.5
-            mmask = include & (p_excl > MEDIAN_T)
-            msum = _cumsum_sublane(mmask.astype(jnp.float32))
-            total = msum[chunk - 1:chunk, :]
-            sel = jnp.where(mmask & (msum == total), 1.0, 0.0)
-            has = (total > 0.0).reshape(1, PIX)
-            m_w = mm(sel, block)
-            m_wx = mm(sel * dx, block)
-            m_wy = mm(sel * dy, block)
-            vp, cp, rp = S["view_point"], S["camera_planes"], S["ray_plane"]
-            ts_s = S["ts"]
-            mc0 = (m_w[:, vp.start] + m_wx[:, cp.start] + m_wy[:, cp.start + 1])
-            mc1 = (m_w[:, vp.start + 1] + m_wx[:, cp.start + 2] + m_wy[:, cp.start + 3])
-            mc2 = (m_w[:, vp.start + 2] + m_wx[:, cp.start + 4] + m_wy[:, cp.start + 5])
-            mt = (m_w[:, ts_s.start] + m_wx[:, rp.start] + m_wy[:, rp.start + 1])
-            hasv = has.reshape(PIX)
-            med[0, :] = jnp.where(hasv, mt, med[0, :])
-            med[1, :] = jnp.where(hasv, mc0, med[1, :])
-            med[2, :] = jnp.where(hasv, mc1, med[2, :])
-            med[3, :] = jnp.where(hasv, mc2, med[3, :])
-            any_inc = jnp.max(jnp.where(include, 1.0, 0.0), axis=0)
-            state[1, :] = jnp.maximum(state[1, :], any_inc)
-        return 0
+        dims = (((0,), (0,)), ((), ()))
+        mm = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+        acc_w[:] = acc_w[:] + mm(w, block)
+        acc_wx[:] = acc_wx[:] + mm(w * dx, block)
+        acc_wy[:] = acc_wy[:] + mm(w * dy, block)
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+        # median selection: last include with transmittance-before > 0.5,
+        # found by a max-index reduction instead of a masked scan
+        mmask = include & (p_excl > MEDIAN_T)
+        midx = jnp.max(jnp.where(mmask, rowid, -1), axis=0)    # [PIX]
+        sel = jnp.where((rowid == midx[None, :]) & mmask, 1.0, 0.0)
+        hasv = midx >= 0
+        m_w = mm(sel, block)
+        m_wx = mm(sel * dx, block)
+        m_wy = mm(sel * dy, block)
+        vp, cp, rp = S["view_point"], S["camera_planes"], S["ray_plane"]
+        ts_s = S["ts"]
+        mc0 = (m_w[:, vp.start] + m_wx[:, cp.start] + m_wy[:, cp.start + 1])
+        mc1 = (m_w[:, vp.start + 1] + m_wx[:, cp.start + 2] + m_wy[:, cp.start + 3])
+        mc2 = (m_w[:, vp.start + 2] + m_wx[:, cp.start + 4] + m_wy[:, cp.start + 5])
+        mt = (m_w[:, ts_s.start] + m_wx[:, rp.start] + m_wy[:, rp.start + 1])
+        med[0, :] = jnp.where(hasv, mt, med[0, :])
+        med[1, :] = jnp.where(hasv, mc0, med[1, :])
+        med[2, :] = jnp.where(hasv, mc1, med[2, :])
+        med[3, :] = jnp.where(hasv, mc2, med[3, :])
+        any_inc = jnp.max(jnp.where(include, 1.0, 0.0), axis=0)
+        state[1, :] = jnp.maximum(state[1, :], any_inc)
+
+    jax.lax.fori_loop(0, n_chunks, body, jnp.float32(1.0))
 
     # ---- finalize (forward.cu:757-821) ----
     S = PAYLOAD_SLICES
@@ -246,7 +264,7 @@ def _backward_kernel(
     # tensor inputs
     payload_hbm, packed_ref, cot_ref,
     # outputs
-    dpay_hbm,
+    dpay_hbm, clive_ref,
     # scratch
     buf, sem, obuf, osem, tchk, state,
     *, chunk: int, max_chunks: int,
@@ -312,13 +330,22 @@ def _backward_kernel(
         return dx, dy, power, alpha_raw, alpha, passes, a, (c0, c1, c2)
 
     # ---- pass A: transmittance checkpoints --------------------------------
+    # Early-stops at the same saturation point as the forward while_loop; the
+    # stop index is this tile's live-chunk count (chunks past it have
+    # include == false everywhere, hence exactly zero payload gradient — the
+    # caller zeroes those rows, so pass B never touches them).
     tchk[0] = jnp.ones((PIX,), jnp.float32)
 
     @pl.when(n_chunks > 0)
     def _():
         get_dma(0, 0).start()
 
-    def body_a(c, _):
+    def cond_a(carry):
+        c, tmax = carry
+        return jnp.logical_and(c < n_chunks, tmax >= T_STOP)
+
+    def body_a(carry):
+        c, _ = carry
         slot = jax.lax.rem(c, 2)
         @pl.when(c + 1 < n_chunks)
         def _():
@@ -332,11 +359,19 @@ def _backward_kernel(
         p_incl = t_carry * cum_raw
         include = passes & (p_incl >= T_STOP)
         om_eff = jnp.where(include, om, 1.0)
-        cum_eff = _cumprod_sublane(om_eff)
-        tchk[c + 1] = (t_carry * cum_eff[chunk - 1:chunk, :]).reshape(PIX)
-        return 0
+        new_t = (t_carry * _prod_all_sublane(om_eff)[0:1, :]).reshape(PIX)
+        tchk[c + 1] = new_t
+        return c + 1, jnp.max(new_t)
 
-    jax.lax.fori_loop(0, n_chunks, body_a, 0)
+    c_live, _ = jax.lax.while_loop(
+        cond_a, body_a, (jnp.int32(0), jnp.float32(1.0)))
+    # live-chunk count out: 8 consecutive tiles share one (8,128) VMEM block
+    # (Mosaic's minimum output tile); each writes its own sublane row
+    clive_ref[pl.ds(jax.lax.rem(t, 8), 1), :] = jnp.full(
+        (1, 128), c_live, jnp.int32)
+    @pl.when(c_live < n_chunks)
+    def _():
+        get_dma(jax.lax.rem(c_live, 2), c_live).wait()
 
     # ---- un-finalize the output cotangents --------------------------------
     pk = packed_ref[0]       # [PIX, OUT_PAD]
@@ -421,10 +456,21 @@ def _backward_kernel(
     state[0, :] = jnp.zeros((PIX,), jnp.float32)      # suffix carry S
     state[1, :] = jnp.zeros((PIX,), jnp.float32)      # med_done flag
 
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            obuf.at[slot], dpay_hbm.at[pl.ds(start + c * chunk, chunk)],
+            osem.at[slot])
+
+    @pl.when(c_live > 0)
+    def _():
+        get_dma(jax.lax.rem(c_live - 1, 2), c_live - 1).start()
+
     def body_b(i, _):
-        c = n_chunks - 1 - i
+        c = c_live - 1 - i
         slot = jax.lax.rem(c, 2)
-        get_dma(slot, c).start()
+        @pl.when(c >= 1)
+        def _():
+            get_dma(jax.lax.rem(c - 1, 2), c - 1).start()
         get_dma(slot, c).wait()
         block = buf[slot]
         dx, dy, power, alpha_raw, alpha, passes, a, (c0, c1, c2) = alphas_of(block, c)
@@ -445,12 +491,12 @@ def _backward_kernel(
 
         # median selection for this chunk (route once, from the back)
         mmask = include & (p_excl > MEDIAN_T)
-        msum = _cumsum_sublane(mmask.astype(jnp.float32))
-        total = msum[chunk - 1:chunk, :]
-        sel_raw = jnp.where(mmask & (msum == total), 1.0, 0.0)
+        midx = jnp.max(jnp.where(mmask, rowid, -1), axis=0)   # [PIX]
+        sel_raw = jnp.where((rowid == midx[None, :]) & mmask, 1.0, 0.0)
         not_done = (state[1, :] == 0.0).reshape(1, PIX)
         sel = sel_raw * not_done
-        state[1, :] = jnp.maximum(state[1, :], (total > 0.0).reshape(PIX))
+        state[1, :] = jnp.maximum(state[1, :],
+                                  (midx >= 0).astype(jnp.float32))
 
         H1 = mm(block, N1)
         H2 = mm(block, N2)
@@ -491,14 +537,24 @@ def _backward_kernel(
         dB = dB + jnp.concatenate(
             [head, jnp.zeros((chunk, F - 6), jnp.float32)], axis=1)
 
-        obuf[:] = dB
-        out = pltpu.make_async_copy(
-            obuf, dpay_hbm.at[pl.ds(start + c * chunk, chunk)], osem)
-        out.start()
-        out.wait()
+        # double-buffered write-back: before refilling this obuf slot, drain
+        # the write issued two iterations ago on it (same semaphore + size, so
+        # the reconstructed descriptor waits on the right transfer)
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, c + 2).wait()
+        obuf[slot] = dB
+        out_dma(slot, c).start()
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body_b, 0)
+    jax.lax.fori_loop(0, c_live, body_b, 0)
+    # drain the last (up to two) in-flight writes
+    @pl.when(c_live > 0)
+    def _():
+        out_dma(0, 0).wait()
+    @pl.when(c_live > 1)
+    def _():
+        out_dma(1, 1).wait()
 
 
 def rasterize_pallas_backward(
@@ -506,7 +562,11 @@ def rasterize_pallas_backward(
     *, num_tiles, grid_x, width, height, focal_x, focal_y,
     chunk: int = 128, max_chunks: int = 512, interpret: bool = False,
 ):
-    """Returns d pair_payload [K+chunk, PAYLOAD_PAD]."""
+    """Returns (d pair_payload [K+chunk, PAYLOAD_PAD], live_chunks [T, 1]).
+
+    Rows of chunks past a tile's live count are NOT written (their gradient is
+    exactly zero); the caller must mask them out with live_chunks.
+    """
     params = jnp.array(
         [focal_x, focal_y, width / 2.0, height / 2.0, float(grid_x), 0.0],
         dtype=jnp.float32,
@@ -521,12 +581,16 @@ def rasterize_pallas_backward(
             pl.BlockSpec((1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, 128), lambda t, *_: (t // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, PAYLOAD_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((chunk, PAYLOAD_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, chunk, PAYLOAD_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((max_chunks + 1, PIX), jnp.float32),
             pltpu.VMEM((8, PIX), jnp.float32),
         ],
@@ -534,7 +598,10 @@ def rasterize_pallas_backward(
     return pl.pallas_call(
         functools.partial(_backward_kernel, chunk=chunk, max_chunks=max_chunks),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pair_payload.shape, jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct(pair_payload.shape, jnp.float32),
+            jax.ShapeDtypeStruct((pl.cdiv(num_tiles, 8) * 8, 128), jnp.int32),
+        ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100),
