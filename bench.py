@@ -50,8 +50,10 @@ def build(n=100_000, w=802, h=550):
         focal_x=cam.focal_x, focal_y=cam.focal_y, kernel_size=0.1, sh_degree=3)
 
     def forward(backend):
+        # capacity sized to the workload (~790k pairs with tight rects;
+        # rasterize reports num_pairs so real pipelines can size this too)
         cfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x,
-                           focal_y=cam.focal_y, pair_capacity=1 << 21,
+                           focal_y=cam.focal_y, pair_capacity=1 << 20,
                            max_per_tile=2048, chunk=128, backend=backend)
 
         def run(means, scales, q, opac, shs):

@@ -107,8 +107,21 @@ def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
     tj = ((pk >> 11) & 0x7FF) + k // rw
     tile_id = jnp.where(in_range, tj * grid_x + ti, num_tiles).astype(jnp.int32)
 
-    # stable sort by tile id; ranks ride along (already in depth order)
-    tile_sorted, rank_sorted = jax.lax.sort((tile_id, rank_c), num_keys=1, is_stable=True)
+    # stable sort by tile id with ranks riding along, as ONE packed int32 key
+    # (tile << rank_bits | rank): pairs are generated in depth order and the
+    # sort is stable in the packed low bits too, so per-tile depth order is
+    # preserved — the reference needed a 64-bit (tile, depth) radix key
+    # (rasterizer_impl.cu:70-111) for the same result. Single-operand sort is
+    # ~2x cheaper than carrying a value lane.
+    rank_bits = max(17, (N - 1).bit_length())
+    if num_tiles + 1 <= (1 << (31 - rank_bits)):
+        packed_key = (tile_id << rank_bits) | rank_c
+        (key_sorted,) = jax.lax.sort((packed_key,), num_keys=1, is_stable=True)
+        tile_sorted = key_sorted >> rank_bits
+        rank_sorted = key_sorted & ((1 << rank_bits) - 1)
+    else:  # huge scenes: fall back to the two-operand sort
+        tile_sorted, rank_sorted = jax.lax.sort(
+            (tile_id, rank_c), num_keys=1, is_stable=True)
 
     # per-tile ranges (identifyTileRanges equivalent): binary search with
     # num_tiles+1 needles instead of a K-element scatter-add (~18ms -> ~0)

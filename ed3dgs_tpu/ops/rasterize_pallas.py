@@ -194,24 +194,29 @@ def _forward_kernel(
         acc_wy[:] = acc_wy[:] + mm(w * dy, block)
 
         # median selection: last include with transmittance-before > 0.5,
-        # found by a max-index reduction instead of a masked scan
+        # found by a max-index reduction instead of a masked scan. Once every
+        # pixel has crossed T=0.5 (typically within the first chunk or two)
+        # mmask goes permanently empty — skip its three matmuls entirely.
         mmask = include & (p_excl > MEDIAN_T)
         midx = jnp.max(jnp.where(mmask, rowid, -1), axis=0)    # [PIX]
-        sel = jnp.where((rowid == midx[None, :]) & mmask, 1.0, 0.0)
-        hasv = midx >= 0
-        m_w = mm(sel, block)
-        m_wx = mm(sel * dx, block)
-        m_wy = mm(sel * dy, block)
-        vp, cp, rp = S["view_point"], S["camera_planes"], S["ray_plane"]
-        ts_s = S["ts"]
-        mc0 = (m_w[:, vp.start] + m_wx[:, cp.start] + m_wy[:, cp.start + 1])
-        mc1 = (m_w[:, vp.start + 1] + m_wx[:, cp.start + 2] + m_wy[:, cp.start + 3])
-        mc2 = (m_w[:, vp.start + 2] + m_wx[:, cp.start + 4] + m_wy[:, cp.start + 5])
-        mt = (m_w[:, ts_s.start] + m_wx[:, rp.start] + m_wy[:, rp.start + 1])
-        med[0, :] = jnp.where(hasv, mt, med[0, :])
-        med[1, :] = jnp.where(hasv, mc0, med[1, :])
-        med[2, :] = jnp.where(hasv, mc1, med[2, :])
-        med[3, :] = jnp.where(hasv, mc2, med[3, :])
+
+        @pl.when(jnp.max(midx) >= 0)
+        def _():
+            sel = jnp.where((rowid == midx[None, :]) & mmask, 1.0, 0.0)
+            hasv = midx >= 0
+            m_w = mm(sel, block)
+            m_wx = mm(sel * dx, block)
+            m_wy = mm(sel * dy, block)
+            vp, cp, rp = S["view_point"], S["camera_planes"], S["ray_plane"]
+            ts_s = S["ts"]
+            mc0 = (m_w[:, vp.start] + m_wx[:, cp.start] + m_wy[:, cp.start + 1])
+            mc1 = (m_w[:, vp.start + 1] + m_wx[:, cp.start + 2] + m_wy[:, cp.start + 3])
+            mc2 = (m_w[:, vp.start + 2] + m_wx[:, cp.start + 4] + m_wy[:, cp.start + 5])
+            mt = (m_w[:, ts_s.start] + m_wx[:, rp.start] + m_wy[:, rp.start + 1])
+            med[0, :] = jnp.where(hasv, mt, med[0, :])
+            med[1, :] = jnp.where(hasv, mc0, med[1, :])
+            med[2, :] = jnp.where(hasv, mc1, med[2, :])
+            med[3, :] = jnp.where(hasv, mc2, med[3, :])
         any_inc = jnp.max(jnp.where(include, 1.0, 0.0), axis=0)
         state[1, :] = jnp.maximum(state[1, :], any_inc)
 
