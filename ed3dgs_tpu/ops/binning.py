@@ -33,6 +33,9 @@ class BinnedPairs(NamedTuple):
     order: jnp.ndarray        # [N] int32 gaussian index by depth rank
     pair_gauss: jnp.ndarray   # [K] int32: sorted-order gaussian *rank* per pair
     pair_tile: jnp.ndarray    # [K] int32 tile id per pair (T = sentinel/padding)
+    pair_perm: jnp.ndarray    # [K] int32: pre-sort slot of each sorted pair
+    seg_starts: jnp.ndarray   # [N] int32: gaussian-rank CSR over pre-sort slots
+    seg_ends: jnp.ndarray     # [N] int32 (clamped to K; empty for 0-tile rows)
     tile_start: jnp.ndarray   # [T] int32 start offset into the pair list
     tile_count: jnp.ndarray   # [T] int32 number of pairs per tile
     num_pairs: jnp.ndarray    # [] int32 true number of pairs (may exceed K)
@@ -116,12 +119,13 @@ def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
     rank_bits = max(17, (N - 1).bit_length())
     if num_tiles + 1 <= (1 << (31 - rank_bits)):
         packed_key = (tile_id << rank_bits) | rank_c
-        (key_sorted,) = jax.lax.sort((packed_key,), num_keys=1, is_stable=True)
+        key_sorted, perm = jax.lax.sort((packed_key, p), num_keys=1,
+                                        is_stable=True)
         tile_sorted = key_sorted >> rank_bits
         rank_sorted = key_sorted & ((1 << rank_bits) - 1)
-    else:  # huge scenes: fall back to the two-operand sort
-        tile_sorted, rank_sorted = jax.lax.sort(
-            (tile_id, rank_c), num_keys=1, is_stable=True)
+    else:  # huge scenes: fall back to the multi-operand sort
+        tile_sorted, rank_sorted, perm = jax.lax.sort(
+            (tile_id, rank_c, p), num_keys=1, is_stable=True)
 
     # per-tile ranges (identifyTileRanges equivalent): binary search with
     # num_tiles+1 needles instead of a K-element scatter-add (~18ms -> ~0)
@@ -135,6 +139,12 @@ def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
         order=order,
         pair_gauss=rank_sorted,
         pair_tile=tile_sorted,
+        pair_perm=perm,
+        # CSR over pre-sort slots per gaussian rank: zero-tile rows collapse
+        # to empty [excl, excl) segments, keeping the bounds monotone (the
+        # segment-sum kernel requires it); min() clamps capacity overflow.
+        seg_starts=jnp.minimum(excl, K),
+        seg_ends=jnp.minimum(offsets, K),
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=total,
@@ -169,8 +179,15 @@ def payload_slices():
 PAYLOAD_SLICES = payload_slices()
 
 
-def build_gaussian_payload(proj: ProjectedGaussians, tongue: jnp.ndarray) -> jnp.ndarray:
-    """Per-gaussian feature rows [N, PAYLOAD_PAD] in original gaussian order."""
+def build_gaussian_payload(proj: ProjectedGaussians, tongue: jnp.ndarray,
+                           pad: bool = True) -> jnp.ndarray:
+    """Per-gaussian feature rows [N, PAYLOAD_PAD] in original gaussian order.
+
+    With pad=False, returns the unpadded [N, PAYLOAD_DIM+1] rows: the pallas
+    path pads AFTER the pair gather so the gather's transpose (the
+    per-gaussian gradient scatter-add) runs at 26 lanes, not 128 — ~5x less
+    scatter work in the backward pass.
+    """
     cols = [
         proj.mean2d,
         proj.conic,
@@ -185,7 +202,7 @@ def build_gaussian_payload(proj: ProjectedGaussians, tongue: jnp.ndarray) -> jnp
     ]
     cols.append(jnp.ones_like(proj.ts[:, None]))  # ONES_COL
     payload = jnp.concatenate(cols, axis=-1).astype(jnp.float32)
-    pad = PAYLOAD_PAD - payload.shape[-1]
-    if pad:
-        payload = jnp.pad(payload, ((0, 0), (0, pad)))
+    if pad and payload.shape[-1] < PAYLOAD_PAD:
+        payload = jnp.pad(
+            payload, ((0, 0), (0, PAYLOAD_PAD - payload.shape[-1])))
     return payload

@@ -30,6 +30,7 @@ from .common import RasterOutputs, TILE
 from . import rasterize_pallas as rp
 from .rasterize_ref import rasterize_reference
 from .rasterize_tiles import rasterize_tiles
+from .segment_sum import segment_sum_rows
 
 
 @dataclass(frozen=True)
@@ -80,8 +81,8 @@ def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
 # plain jnp upstream (the gather's transpose gives the deterministic
 # per-gaussian scatter-add that replaces the reference's atomics).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _packed_tiles(pair_payload, tile_start, tile_count, pair_tile, meta):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_tiles(pair_payload, tile_start, tile_count, meta):
     return _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
 
 
@@ -93,51 +94,94 @@ def _packed_tiles_impl(pair_payload, tile_start, tile_count, meta):
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
 
 
-def _packed_tiles_fwd(pair_payload, tile_start, tile_count, pair_tile, meta):
+def _packed_tiles_fwd(pair_payload, tile_start, tile_count, meta):
     packed = _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
-    return packed, (pair_payload, tile_start, tile_count, pair_tile, packed)
+    return packed, (pair_payload, tile_start, tile_count, packed)
 
 
 def _packed_tiles_bwd(meta, res, cot):
     (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
-    pair_payload, tile_start, tile_count, pair_tile, packed = res
+    pair_payload, tile_start, tile_count, packed = res
     dpay, clive = rp.rasterize_pallas_backward(
         pair_payload, tile_start, tile_count, packed, cot,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
     # The kernel writes only each tile's live chunks; every other row
     # (saturation-dead chunks, sentinel padding) is uninitialized memory with
-    # an exactly-zero true gradient — mask it here (fuses into one cheap
-    # elementwise pass; the barrier stops XLA from simplifying it away).
+    # an exactly-zero true gradient — mask it here. The per-row live limit is
+    # reconstructed boxcar-style (scatter +limit at each tile's first row,
+    # -limit at the next tile's first row, cumsum) — NO K-element gathers,
+    # which cost ~9ns/element on TPU. The barrier keeps XLA from folding the
+    # row iota through the mask.
     K = dpay.shape[0]
     row = jax.lax.optimization_barrier(jnp.arange(K, dtype=jnp.int32))
-    ts_pad = jnp.concatenate([tile_start, jnp.full((1,), 1 << 30, jnp.int32)])
-    cl_pad = jnp.concatenate([clive[:num_tiles, 0],
-                              jnp.zeros((1,), jnp.int32)])
-    pt = jnp.minimum(pair_tile, num_tiles)       # sentinel -> the dead row
-    live = (row >= ts_pad[pt]) & (row - ts_pad[pt] < cl_pad[pt] * chunk)
+    limit = tile_start + clive[:num_tiles, 0] * chunk      # [T]
+    nxt = jnp.concatenate([tile_start[1:],
+                           jnp.full((1,), 1 << 30, jnp.int32)])
+    lim_row = jnp.zeros((K,), jnp.int32).at[
+        jnp.concatenate([tile_start, jnp.minimum(nxt, K)])].add(
+        jnp.concatenate([limit, -limit]), mode="drop")
+    live = row < jnp.cumsum(lim_row)
     dpay = jnp.where(live[:, None], dpay, 0.0)
-    return dpay, None, None, None
+    return dpay, None, None
 
 
 _packed_tiles.defvjp(_packed_tiles_fwd, _packed_tiles_bwd)
 
 
+# ---- payload expansion as a custom-vjp unit ------------------------------
+# Forward: a plain row gather (runs at DMA speed). Backward: XLA would emit a
+# row scatter-add at ~14ns/row ([1M,26] ~ 14ms); instead un-permute the
+# cotangent rows to pre-sort order, where each gaussian's pairs are
+# contiguous, and reduce with the deterministic CSR segment-sum kernel.
+
+@jax.custom_vjp
+def _expand_pairs(payload_sorted, pair_gauss, perm, seg_starts, seg_ends):
+    return payload_sorted[pair_gauss]
+
+
+def _expand_pairs_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends):
+    return payload_sorted[pair_gauss], (perm, seg_starts, seg_ends)
+
+
+def _expand_pairs_bwd(res, g):
+    perm, seg_starts, seg_ends = res
+    K, F = g.shape
+    inv = jnp.zeros((K,), jnp.int32).at[perm].set(
+        jnp.arange(K, dtype=jnp.int32))
+    # pad lanes BEFORE the gather, with a barrier so XLA cannot commute the
+    # pad back through it: a narrow (26-lane) row gather here gets assigned
+    # a column-major layout and runs element-at-a-time (~20x slower than the
+    # row-major 128-lane row-DMA gather)
+    g128 = jax.lax.optimization_barrier(jnp.pad(g, ((0, 0), (0, (-F) % 128))))
+    g_pre = g128[inv]                    # rows back to pair-expansion order
+    d_payload = segment_sum_rows(g_pre, seg_starts, seg_ends,
+                                 interpret=jax.default_backend() == "cpu")
+    return d_payload[:, :F], None, None, None, None
+
+
+_expand_pairs.defvjp(_expand_pairs_fwd, _expand_pairs_bwd)
+
+
 def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> RasterOutputs:
     bins = bin_gaussians(proj, width=cfg.width, height=cfg.height,
                          pair_capacity=cfg.pair_capacity)
-    payload = build_gaussian_payload(proj, tongue)
+    # gather unpadded rows (lane-pad after, so transposes stay 26 wide);
+    # _expand_pairs carries the custom segment-sum backward
+    payload = build_gaussian_payload(proj, tongue, pad=False)
     payload_sorted = payload[bins.order]
-    pair_payload = payload_sorted[bins.pair_gauss]         # [K, F] pair order
-    pair_payload = jnp.pad(pair_payload, ((0, cfg.chunk), (0, 0)))
+    pair_payload = _expand_pairs(payload_sorted, bins.pair_gauss,
+                                 bins.pair_perm, bins.seg_starts,
+                                 bins.seg_ends)             # [K, F] pair order
+    pair_payload = jnp.pad(
+        pair_payload,
+        ((0, cfg.chunk), (0, PAYLOAD_PAD - pair_payload.shape[-1])))
     grid_x, grid_y = bins.grid
     num_tiles = grid_x * grid_y
-    pair_tile = jnp.pad(bins.pair_tile, (0, cfg.chunk),
-                        constant_values=num_tiles)
     meta = (num_tiles, grid_x, cfg.width, cfg.height,
             cfg.focal_x, cfg.focal_y, cfg.chunk, cfg.interpret)
     packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count,
-                           pair_tile, meta)
+                           meta)
     return _unpack_pallas(packed, bg, cfg, bins.grid)
 
 

@@ -1,0 +1,129 @@
+"""CSR segment-sum of row blocks — the TPU scatter-add replacement.
+
+`segment_sum_rows(rows, starts, ends)` returns `out[s] = rows[starts[s]:
+ends[s]].sum(0)` for monotone (CSR-style) bounds. XLA lowers a row
+scatter-add at ~14ns/row regardless of width (profiled: a [1M, 26] f32
+scatter-add costs ~14ms — 4x the rasterizer tile kernel), so every "sum rows
+by group" in the framework is instead expressed as: sort/permute the rows so
+groups are contiguous (row gathers run at DMA speed), then this kernel:
+one grid step per 128 segments, rows streamed through a double-buffered DMA
+pipeline, membership resolved as a [128, chunk] boolean mask and reduced with
+ONE MXU matmul per chunk. Deterministic by construction (the reference CUDA
+uses nondeterministic atomics for the same reductions, backward.cu:878-1013).
+
+Users: ops.rasterize (per-Gaussian payload gradient), train.losses
+(embedding-KNN regularizer reverse-edge gradient).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_S = 128
+
+
+def _kernel(starts_smem, ends_smem, rows_hbm, st_ref, en_ref, out_ref,
+            buf, sem, *, chunk: int):
+    b = pl.program_id(0)
+    rs = starts_smem[b * _BLOCK_S]
+    re = ends_smem[b * _BLOCK_S + _BLOCK_S - 1]   # bounds are monotone (CSR)
+    n_chunks = pl.cdiv(re - rs, chunk)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(rs + c * chunk, chunk)],
+            buf.at[slot], sem.at[slot])
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        dma(slot, c).wait()
+        rid = (rs + c * chunk
+               + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1))
+        member = ((rid >= st_ref[...]) & (rid < en_ref[...])
+                  ).astype(jnp.float32)              # [128, chunk]
+        # HIGHEST: the 0/1 membership matrix is exact in every pass, so the
+        # multi-pass f32 decomposition reproduces exact f32 row sums; the
+        # default single bf16 pass truncates the row values to 8 mantissa
+        # bits (measured 2e-3 gradient error)
+        out_ref[...] += jax.lax.dot_general(
+            member, buf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def segment_sum_rows(rows: jnp.ndarray, starts: jnp.ndarray,
+                     ends: jnp.ndarray, *, chunk: int = 512,
+                     interpret: bool = False) -> jnp.ndarray:
+    """out[s] = rows[starts[s]:ends[s]].sum(axis=0).
+
+    Args:
+      rows: [R, F] float32, segment members contiguous.
+      starts/ends: [S] int32 CSR bounds — monotone: starts[s+1] >= starts[s],
+        ends[s+1] >= ends[s], starts[s] <= ends[s] <= R.
+    Returns [S, F] float32 segment sums (empty segments -> zeros).
+
+    F must be a multiple of 128 (Mosaic DMA lane alignment); callers pad —
+    the physical HBM tiles of a narrower array are 128-lane padded anyway,
+    so the padding adds no real DMA traffic.
+    """
+    R, F = rows.shape
+    assert F % 128 == 0, f"segment_sum_rows needs 128-aligned lanes, got {F}"
+    S = starts.shape[0]
+    s_pad = (-S) % _BLOCK_S
+    starts_p = jnp.pad(starts.astype(jnp.int32), (0, s_pad),
+                       constant_values=R)
+    ends_p = jnp.pad(ends.astype(jnp.int32), (0, s_pad), constant_values=R)
+    rows_p = jnp.pad(rows, ((0, chunk), (0, 0)))
+    sp = S + s_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sp // _BLOCK_S,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_S, F), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, F), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(64 * 1024 * 1024)),
+    )(starts_p, ends_p, rows_p, starts_p[:, None], ends_p[:, None])
+    return out[:S]
+
+
+def segment_sum_rows_ref(rows, starts, ends):
+    """jnp oracle for tests (O(S*R) one-hot matmul; tiny inputs only)."""
+    R = rows.shape[0]
+    rid = jnp.arange(R)[None, :]
+    member = ((rid >= starts[:, None]) & (rid < ends[:, None]))
+    return member.astype(rows.dtype) @ rows

@@ -51,6 +51,11 @@ class TrainSetup:
     radegs_from_iter: int = 15_000
     num_down_emb: int = 30
     sh_degree: int = 3
+    # "scan" serializes the camera batch with lax.map — best single-chip (a
+    # vmapped lax.sort lowers to a T(1,128) layout ~8x slower, and the grid
+    # is serial per core anyway). "vmap" keeps B a real batch axis so the
+    # pjit sharded path can partition it over the "data" mesh axis.
+    batch_mode: str = "scan"
 
 
 
@@ -117,9 +122,9 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
         dparams = params_all["deform"]
         reg_kick_on = iteration >= setup.radegs_from_iter
 
-        # vmapped over the camera batch: the leading B axis stays a real batch
-        # dimension, so the sharded path partitions it over the "data" mesh
-        # axis (camera data-parallelism) with no code change.
+        # over the camera batch: lax.map (single-chip, see batch_mode) or vmap
+        # (sharded path: B stays a real batch axis that pjit partitions over
+        # the "data" mesh axis for camera data-parallelism).
         def render_b(vm, pm, cp, tm, cn, off):
             settings = RenderSettings(vm, pm, cp, tm, cn)
             r = _render_one(gparams, aux, dparams, setup, settings,
@@ -129,9 +134,12 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
                     "tongue_mask")
             return {k: r[k] for k in keep}
 
-        renders = jax.vmap(render_b)(
-            batch["viewmatrix"], batch["projmatrix"], batch["campos"],
-            batch["time"], batch["cam_no"], offsets)
+        batch_args = (batch["viewmatrix"], batch["projmatrix"],
+                      batch["campos"], batch["time"], batch["cam_no"], offsets)
+        if setup.batch_mode == "scan":
+            renders = jax.lax.map(lambda a: render_b(*a), batch_args)
+        else:
+            renders = jax.vmap(render_b)(*batch_args)
 
         image = renders["render"]                                # [B,3,H,W]
         gt = batch["gt_image"]

@@ -37,7 +37,8 @@ def build_problem(batch=4, n=96, cap=128, w=48, h=48):
                         pair_capacity=1 << 13, max_per_tile=128, chunk=32)
     state, optimizer = init_train_state(params, hidden, opt_cfg, 1.0)
     setup = TrainSetup(raster=rcfg, hidden=hidden, batch_size=batch,
-                       disable_filter3d=True, radegs_from_iter=10 ** 9)
+                       disable_filter3d=True, radegs_from_iter=10 ** 9,
+                       batch_mode="vmap")
     gts = rng.uniform(0, 1, (batch, 3, h, w)).astype(np.float32)
     batch_data = {
         "gt_image": jnp.asarray(gts),
