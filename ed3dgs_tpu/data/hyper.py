@@ -115,8 +115,13 @@ def read_hyper_scene(path: str, *, ratio: float = 0.5, duration=None,
     train = [make_cam(i, False) for i in i_train]
     test = [make_cam(i, True) for i in i_test]
     norm = get_nerfpp_norm(train)
+    # Video split: slerp/lerp-smoothed fly-through over all camera poses,
+    # capped at 500 frames (reference scene/hyper_loader.py:124-128).
+    from .trajectories import smooth_camera_poses
+    all_cams = [make_cam(i, False) for i in range(len(all_ids))]
+    video = smooth_camera_poses(all_cams, num_interpolations=10, max_poses=500)
     ply_path = os.path.join(path, "points3D_downsample.ply")
     pcd = fetch_point_cloud(ply_path) if os.path.exists(ply_path) else None
     return SceneInfo(point_cloud=pcd, train_cameras=train, test_cameras=test,
-                     video_cameras=list(test), nerf_normalization=norm,
+                     video_cameras=video, nerf_normalization=norm,
                      ply_path=ply_path, maxtime=duration)

@@ -146,26 +146,39 @@ def _split_train_test(cam_list, test_prefix):
 
 def read_colmap_scene(path: str, *, duration: int, test_cam: str = "cam00",
                       resolution: int = -1, principal_point: bool = False,
-                      image_loader=None, extension: str = ".png") -> SceneInfo:
+                      image_loader=None, extension: str = ".png",
+                      video_trajectory: Optional[str] = None) -> SceneInfo:
     cam_list = _cameras_from_colmap(
         path, duration=duration, resolution=resolution,
         principal_point=principal_point, image_loader=image_loader,
         extension=extension)
     cam_list.sort(key=lambda c: (c.cam_no, c.frame_no))
     train, test = _split_train_test(cam_list, test_cam)
+    frame0 = [c for c in cam_list if c.frame_no == 0]
     norm = get_nerfpp_norm([c for c in train if c.frame_no == 0])
+    # Novel-view video path: spiral for DyNeRF (reference dataset_readers.py
+    # :285), circular head orbit for NerSemble (:341), none for Technicolor.
+    video: List[Camera] = []
+    if video_trajectory == "spiral":
+        from .trajectories import spiral_video_cameras
+        video = spiral_video_cameras(frame0, near=0.01, far=100.0, n_views=300)
+    elif video_trajectory == "circle":
+        from .trajectories import nersemble_video_cameras
+        video = nersemble_video_cameras(frame0, duration=duration)
     ply_path = os.path.join(path, "points3D_downsample.ply")
     pcd = fetch_point_cloud(ply_path) if os.path.exists(ply_path) else None
     return SceneInfo(point_cloud=pcd, train_cameras=train, test_cameras=test,
-                     video_cameras=[], nerf_normalization=norm,
+                     video_cameras=video, nerf_normalization=norm,
                      ply_path=ply_path, maxtime=duration)
 
 
 def read_dynerf_scene(path, duration=300, **kw) -> SceneInfo:
+    kw.setdefault("video_trajectory", "spiral")
     return read_colmap_scene(path, duration=duration, test_cam="cam00", **kw)
 
 
 def read_nersemble_scene(path, duration=110, **kw) -> SceneInfo:
+    kw.setdefault("video_trajectory", "circle")
     return read_colmap_scene(path, duration=duration, test_cam="cam00", **kw)
 
 
