@@ -34,6 +34,14 @@ class ModelConfig:
     frame_preference_probability: float = 0.5
     tongue_mask_loss_enabled: bool = False
     colmap_supervision_enabled: bool = False
+    # GT clouds for the supervision loss. The reference hard-codes an absolute
+    # user path (train.py:281-283); here a directory + per-frame pattern.
+    # {frame} is camera.frame_no * colmap_pcd_frame_multiplier (the reference
+    # maps 30fps training frames to 10fps GT captures via *3, train.py:278).
+    colmap_pcd_dir: str = ""
+    colmap_pcd_pattern: str = "frame_{frame:05d}/colmap/pointclouds/pointcloud_16.pcd"
+    colmap_pcd_frame_multiplier: int = 3
+    colmap_pcd_samples: int = 4000
     use_coord_map: bool = False
     kernel_size: float = 0.0
     disable_filter3D: bool = False

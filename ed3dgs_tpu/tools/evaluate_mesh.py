@@ -20,14 +20,12 @@ from ..mesh.mesh_eval import evaluate_mesh_against_pointcloud
 
 
 def load_gt_pointcloud(path: str):
-    """GT cloud from .ply (with optional normals)."""
-    data = read_ply(path)["vertex"]
-    pts = np.stack([data["x"], data["y"], data["z"]], 1).astype(np.float64)
-    names = data.dtype.names
-    normals = None
-    if "nx" in names:
-        normals = np.stack([data["nx"], data["ny"], data["nz"]], 1).astype(np.float64)
-    return pts, normals
+    """GT cloud from .ply or .pcd (NerSemble ships pointcloud_16.pcd,
+    reference evaluate_pointcloud_mesh.py:86,111), with optional normals."""
+    from ..data.pcd import load_pointcloud_any
+    pts, normals = load_pointcloud_any(path)
+    return pts.astype(np.float64), (None if normals is None
+                                    else normals.astype(np.float64))
 
 
 def main(argv=None):
@@ -49,6 +47,11 @@ def main(argv=None):
         gt_candidates = [
             os.path.join(args.gt_dir, ts, "pointcloud.ply"),
             os.path.join(args.gt_dir, f"{ts}.ply"),
+            # NerSemble raw layout (reference evaluate_pointcloud_mesh.py:86)
+            os.path.join(args.gt_dir, "timesteps",
+                         f"frame_{int(ts):05d}" if ts.isdigit() else ts,
+                         "colmap", "pointclouds", "pointcloud_16.pcd"),
+            os.path.join(args.gt_dir, f"{ts}.pcd"),
         ]
         gt_path = next((g for g in gt_candidates if os.path.exists(g)), None)
         if gt_path is None or not os.path.exists(mesh_path):

@@ -69,7 +69,44 @@ def build_config(args):
     return cfg
 
 
-def stage_batch(cams, maxtime, use_ssim, tongue_enabled):
+class PcdSupervisionLoader:
+    """Host-side per-frame GT cloud sampler for the COLMAP supervision loss
+    (train.py:273-295). Caches decoded clouds; samples `n` points per step
+    for the last batch camera's frame."""
+
+    def __init__(self, model, seed=0):
+        self.dir = model.colmap_pcd_dir
+        self.pattern = model.colmap_pcd_pattern
+        self.mult = model.colmap_pcd_frame_multiplier
+        self.n = model.colmap_pcd_samples
+        self.rng = np.random.default_rng(seed)
+        self._cache = {}
+
+    def sample(self, frame_no: int):
+        """Returns (points [n,3] float32, valid bool)."""
+        pts = self._load(frame_no)
+        if pts is None or len(pts) == 0:
+            return np.zeros((self.n, 3), np.float32), False
+        idx = self.rng.choice(len(pts), self.n, replace=len(pts) < self.n)
+        return pts[idx], True
+
+    def _load(self, frame_no: int):
+        if frame_no in self._cache:
+            return self._cache[frame_no]
+        pts = None
+        if self.dir:
+            path = os.path.join(
+                self.dir, self.pattern.format(frame=frame_no * self.mult))
+            if os.path.exists(path):
+                from ..data.pcd import load_pointcloud_any
+                pts, _ = load_pointcloud_any(path)
+        if len(self._cache) > 256:  # bound host memory
+            self._cache.clear()
+        self._cache[frame_no] = pts
+        return pts
+
+
+def stage_batch(cams, maxtime, use_ssim, tongue_enabled, pcd_loader=None):
     import jax.numpy as jnp
 
     mats = [c.matrices() for c in cams]
@@ -93,6 +130,10 @@ def stage_batch(cams, maxtime, use_ssim, tongue_enabled):
     }
     if tongue_enabled:
         batch["tongue_gt"] = jnp.asarray(np.stack(tongues))
+    if pcd_loader is not None:
+        pts, valid = pcd_loader.sample(cams[-1].frame_no)
+        batch["pcd_points"] = jnp.asarray(pts)
+        batch["pcd_valid"] = jnp.asarray(valid)
     return batch
 
 
@@ -143,7 +184,9 @@ def run_training(cfg, args):
         reg_coef=opt.reg_coef, coef_tv_temporal=opt.coef_tv_temporal_embedding,
         lambda_depth_normal=opt.lambda_depth_normal,
         radegs_from_iter=opt.radegs_regularization_from_iter,
-        num_down_emb=hidden.min_embeddings, sh_degree=model.sh_degree)
+        num_down_emb=hidden.min_embeddings, sh_degree=model.sh_degree,
+        colmap_supervision=model.colmap_supervision_enabled,
+        deform_from_iter=hidden.deform_from_iter)
 
     state, optimizer = init_train_state(scene.params, hidden, opt,
                                         scene.cameras_extent, seed=args.seed)
@@ -223,6 +266,9 @@ def run_training(cfg, args):
                 stager.submit(c)
         return cams, use_ssim
 
+    pcd_loader = (PcdSupervisionLoader(model, seed=args.seed)
+                  if model.colmap_supervision_enabled else None)
+
     pending = sample_batch(first_iter)
     for iteration in range(first_iter, final_iter + 1):
         cams, use_ssim = pending
@@ -231,7 +277,8 @@ def run_training(cfg, args):
                 stager.fetch_into(c)
         if iteration < final_iter:
             pending = sample_batch(iteration + 1)
-        batch = stage_batch(cams, maxtime, use_ssim, model.tongue_mask_loss_enabled)
+        batch = stage_batch(cams, maxtime, use_ssim,
+                            model.tongue_mask_loss_enabled, pcd_loader)
         state, aux, metrics = step_fn(state, aux, batch, knn_cache)
 
         l1_items = np.asarray(metrics["l1_items"])

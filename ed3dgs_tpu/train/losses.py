@@ -124,3 +124,23 @@ def coord_normal_loss(rendered_normal, expected_coord, median_coord,
     err_exp = 1.0 - jnp.sum(rendered_normal * n_exp, axis=0)
     err_med = 1.0 - jnp.sum(rendered_normal * n_med, axis=0)
     return (1.0 - depth_ratio) * jnp.mean(err_exp) + depth_ratio * jnp.mean(err_med)
+
+
+def colmap_pcd_loss(pcd_points, gaussian_positions, alive, chunk: int = 500):
+    """COLMAP point-cloud supervision (train.py:273-295,
+    utils/train_utils.py:73-89): for each GT point, the squared distance in
+    millimeters (x1000 per axis) to its nearest deformed Gaussian; mean over
+    points. Dead capacity slots are excluded. Chunked over GT points so the
+    [P, C] distance matrix never materializes whole; each chunk is one
+    [chunk,3]x[3,C] MXU matmul."""
+    g = gaussian_positions * 1000.0                       # [C,3] mm
+    g2 = jnp.sum(g * g, axis=1)                           # [C]
+    dead_bump = jnp.where(alive, 0.0, jnp.float32(3e38))  # finite: inf breaks min-grad
+    p = pcd_points.reshape(-1, chunk, 3) * 1000.0         # [n,chunk,3]
+
+    def one(pc):
+        d2 = jnp.sum(pc * pc, 1)[:, None] + (g2 + dead_bump)[None, :] - 2.0 * pc @ g.T
+        return jnp.min(d2, axis=1)
+
+    d = jax.lax.map(one, p)
+    return jnp.mean(jnp.maximum(d, 0.0))

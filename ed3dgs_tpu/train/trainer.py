@@ -51,6 +51,10 @@ class TrainSetup:
     radegs_from_iter: int = 15_000
     num_down_emb: int = 30
     sh_degree: int = 3
+    # COLMAP point-cloud supervision (train.py:273-295): chamfer of GT cloud
+    # samples to the deformed Gaussians, active after deform_from_iter
+    colmap_supervision: bool = False
+    deform_from_iter: int = 0
     # "scan" serializes the camera batch with lax.map — best single-chip (a
     # vmapped lax.sort lowers to a T(1,128) layout ~8x slower, and the grid
     # is serial per core anyway). "vmap" keeps B a real batch axis so the
@@ -132,6 +136,8 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             keep = ("render", "radii", "visibility_filter", "expected_depth",
                     "median_depth", "normal", "expected_coord", "median_coord",
                     "tongue_mask")
+            if setup.colmap_supervision:
+                keep = keep + ("deformed_gaussian_positions",)
             return {k: r[k] for k in keep}
 
         batch_args = (batch["viewmatrix"], batch["projmatrix"],
@@ -182,6 +188,21 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             lambda: jnp.float32(0.0))
         loss = loss + setup.lambda_depth_normal * dn
 
+        # COLMAP point-cloud supervision on the last batch entry's deformed
+        # positions (train.py:273-295); skipped entirely (lax.cond) before
+        # deform_from_iter or when the host found no GT cloud for the frame
+        pcd_loss = jnp.float32(0.0)
+        if setup.colmap_supervision:
+            gate = jnp.logical_and(iteration > setup.deform_from_iter,
+                                   batch["pcd_valid"])
+            pcd_loss = jax.lax.cond(
+                gate,
+                lambda: L.colmap_pcd_loss(
+                    batch["pcd_points"],
+                    r_last["deformed_gaussian_positions"], aux.alive),
+                lambda: jnp.float32(0.0))
+            loss = loss + 0.01 * pcd_loss  # closest_distance_coef (train.py:294)
+
         tongue_losses = {}
         if setup.tongue_enabled:
             tmask = jnp.round(aux.tongue_class[:, 0]) > 0.5
@@ -222,6 +243,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             "psnr": jnp.mean(L.psnr(image, gt)),
             "ssim": ssim_val, "emb_loss": emb_loss, "tv_loss": tv_loss,
             "opacity_mean": opa_loss, "depth_normal": dn,
+            "pcd_loss": pcd_loss,
             **tongue_losses,
         }
         return loss, (metrics, radii, visible)
