@@ -37,7 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_iterations", type=int, nargs="+", default=[])
     p.add_argument("--start_checkpoint", default=None,
                    help="resume from a chkpnt<N>.npz (params + Adam state)")
-    p.add_argument("--test_every", type=int, default=0)
+    p.add_argument("--test_every", type=int, default=0,
+                   help="render a held-out test camera every N iterations and "
+                        "log test/psnr (reference train.py:378-389)")
+    p.add_argument("--no_tensorboard", action="store_true",
+                   help="disable tfevents logging (reference train.py:488-493)")
     p.add_argument("--seed", type=int, default=6666)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
@@ -135,6 +139,29 @@ def stage_batch(cams, maxtime, use_ssim, tongue_enabled, pcd_loader=None):
         batch["pcd_points"] = jnp.asarray(pts)
         batch["pcd_valid"] = jnp.asarray(valid)
     return batch
+
+
+def training_report(tb, iteration, metrics, iter_time, total_points,
+                    total_tongue):
+    """The reference's per-iteration scalar set (train.py:505-524)."""
+    g = lambda k: float(metrics[k]) if k in metrics else 0.0
+    ssim_val = g("ssim")
+    tb.add_scalar("train_loss_patches/l1_loss", g("l1"), iteration)
+    tb.add_scalar("train_loss_patches/normal_loss", g("depth_normal"), iteration)
+    tb.add_scalar("train_loss_patches/total_loss", g("loss"), iteration)
+    tb.add_scalar("train_loss_patches/dssim_loss", (1.0 - ssim_val) / 2.0, iteration)
+    tb.add_scalar("train_loss_patches/temporal_loss", g("tv_loss"), iteration)
+    tb.add_scalar("train_loss_patches/embedding_loss", g("emb_loss"), iteration)
+    tb.add_scalar("train_loss_patches/tongue_embedding_loss", g("tongue_emb"), iteration)
+    tb.add_scalar("train_loss_patches/opacity_mean_loss", g("opacity_mean"), iteration)
+    tb.add_scalar("train_loss_patches/psnr", g("psnr"), iteration)
+    tb.add_scalar("train_loss_patches/colmap_pcd_loss", g("pcd_loss"), iteration)
+    tb.add_scalar("train_loss_patches/tongue_loss", g("tongue_l1"), iteration)
+    tb.add_scalar("train_loss_patches/wo_tongue_rgb_loss", g("wo_tongue_rgb"), iteration)
+    tb.add_scalar("train_loss_patches/tongue_rgb_loss", g("tongue_rgb"), iteration)
+    tb.add_scalar("iter_time", iter_time, iteration)
+    tb.add_scalar("total_points", total_points, iteration)
+    tb.add_scalar("total_tongue_gaussians", total_tongue, iteration)
 
 
 def main(argv=None):
@@ -269,7 +296,47 @@ def run_training(cfg, args):
     pcd_loader = (PcdSupervisionLoader(model, seed=args.seed)
                   if model.colmap_supervision_enabled else None)
 
+    tb = None
+    if not args.no_tensorboard:
+        from ..utils.tb_writer import SummaryWriter
+        tb = SummaryWriter(model.model_path)
+
+    # periodic held-out test PSNR (reference train.py:378-389)
+    test_cams = list(scene.test_cameras)
+    eval_rng = np.random.default_rng(args.seed)
+
+    from ..render import RenderSettings
+    from ..render import render as render_fn
+    from ..train import losses as L
+
+    @jax.jit
+    def _eval_render(gparams, aux_, dparams, vm, pm, cp, t, it):
+        s = RenderSettings(vm, pm, cp, t, jnp.int32(0))
+        return render_fn(
+            gparams, aux_, dparams, hidden, s, rcfg,
+            jnp.full((3,), 1.0 if model.white_background else 0.0),
+            iteration=it, sh_degree=model.sh_degree,
+            kernel_size=model.kernel_size,
+            disable_filter3d=model.disable_filter3D,
+            num_down_emb_c=hidden.min_embeddings,
+            num_down_emb_f=hidden.min_embeddings)["render"]
+
+    def eval_test_psnr(iteration):
+        cam = test_cams[eval_rng.integers(len(test_cams))]
+        img = cam.image
+        if img is None:
+            return None
+        m = cam.matrices()
+        out = _eval_render(state.params["gaussians"], aux,
+                           state.params["deform"],
+                           jnp.asarray(m.world_view), jnp.asarray(m.full_proj),
+                           jnp.asarray(m.campos), jnp.float32(cam.time),
+                           jnp.asarray(iteration, jnp.int32))
+        cam.release_image()
+        return float(jnp.mean(L.psnr(out[None], jnp.asarray(img)[None])))
+
     pending = sample_batch(first_iter)
+    t_iter = time.time()
     for iteration in range(first_iter, final_iter + 1):
         cams, use_ssim = pending
         if stager is not None:
@@ -301,6 +368,22 @@ def run_training(cfg, args):
         elif (iteration % 100 == 0 and iteration > opt.densify_until_iter
                 and not model.disable_filter3D and iteration < final_iter - 100):
             aux = refresh_filter(state.params["gaussians"], aux)
+
+        if tb is not None:
+            now = time.time()
+            training_report(
+                tb, iteration, metrics, now - t_iter,
+                int(jnp.sum(aux.alive)),
+                int(jnp.sum(aux.alive & (aux.tongue_class[:, 0] > 0.5)))
+                if model.tongue_mask_loss_enabled else 0)
+            t_iter = now
+        if args.test_every > 0 and iteration % args.test_every == 0 and test_cams:
+            tp = eval_test_psnr(iteration)
+            if tp is not None:
+                if tb is not None:
+                    tb.add_scalar("test/psnr", tp, iteration)
+                if not args.quiet:
+                    print(f"[{iteration}] test psnr {tp:.2f}", flush=True)
 
         if not args.quiet and iteration % 100 == 0:
             loss = float(metrics["loss"])
