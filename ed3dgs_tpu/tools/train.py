@@ -42,6 +42,11 @@ def parse_args(argv=None):
                         "log test/psnr (reference train.py:378-389)")
     p.add_argument("--no_tensorboard", action="store_true",
                    help="disable tfevents logging (reference train.py:488-493)")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an XLA profiler trace of N steady-state "
+                        "iterations (starting at iteration 20) to "
+                        "<model_path>/profile; inspect with xprof/tensorboard "
+                        "or scripts/dev_profile.py")
     p.add_argument("--seed", type=int, default=6666)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
@@ -337,6 +342,8 @@ def run_training(cfg, args):
 
     pending = sample_batch(first_iter)
     t_iter = time.time()
+    prof_start = first_iter + 19 if args.profile else -1
+    prof_stop = prof_start + args.profile
     for iteration in range(first_iter, final_iter + 1):
         cams, use_ssim = pending
         if stager is not None:
@@ -344,9 +351,16 @@ def run_training(cfg, args):
                 stager.fetch_into(c)
         if iteration < final_iter:
             pending = sample_batch(iteration + 1)
+        if iteration == prof_start:
+            jax.profiler.start_trace(os.path.join(model.model_path, "profile"))
         batch = stage_batch(cams, maxtime, use_ssim,
                             model.tongue_mask_loss_enabled, pcd_loader)
         state, aux, metrics = step_fn(state, aux, batch, knn_cache)
+        if iteration == prof_stop:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to "
+                  f"{os.path.join(model.model_path, 'profile')}", flush=True)
 
         l1_items = np.asarray(metrics["l1_items"])
         sampler.record_loss([cam_index.get(c.cam_no, 0) for c in cams],
