@@ -164,14 +164,25 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip() and not l.startswith("#")]
-    for i in range(0, len(lines), 2):  # every other line is 2D point data
-        tok = lines[i].split()
+        lines = [l.strip() for l in f if not l.strip().startswith("#")]
+    # Each image record is two lines: the pose line, then its 2D-point line —
+    # which is EMPTY for models without observations (e.g. the known-pose
+    # "manual" models fed to point_triangulator). So the points line must be
+    # consumed positionally, not filtered out as blank.
+    expect_points = False
+    for line in lines:
+        if expect_points:
+            expect_points = False
+            continue
+        if not line:
+            continue
+        tok = line.split()
         out[int(tok[0])] = ColmapImage(
             int(tok[0]),
             np.array([float(x) for x in tok[1:5]]),
             np.array([float(x) for x in tok[5:8]]),
             int(tok[8]), tok[9])
+        expect_points = True
     return out
 
 

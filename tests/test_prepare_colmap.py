@@ -1,0 +1,116 @@
+"""Dataset preprocessing: LLFF pose conversion, COLMAP sqlite/manual-model
+construction, video frame extraction (reference script/pre_nersemble.py:44-170,
+script/thirdparty/my_utils.py:31-80)."""
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+
+from ed3dgs_tpu.tools.prepare_colmap import (convert_poses_to_colmap_db,
+                                             extract_frames, llff_poses_to_w2c,
+                                             prepare_input_images, rotmat2qvec,
+                                             run_colmap_pipeline)
+
+
+def _random_w2c(rng):
+    from ed3dgs_tpu.data.trajectories import _quat_to_rot
+    q = rng.normal(size=4)
+    m = np.eye(4)
+    m[:3, :3] = _quat_to_rot(q / np.linalg.norm(q))
+    m[:3, 3] = rng.normal(size=3)
+    return m
+
+
+def _w2c_to_llff(w2c, H=100, W=160, focal=120.0):
+    """Inverse of llff_poses_to_w2c for test construction: OpenCV c2w columns
+    [right, down, fwd, pos] -> LLFF columns [down, right, -fwd, pos] + hwf."""
+    c2w = np.linalg.inv(w2c)[:3]
+    llff = np.concatenate([c2w[:, 1:2], c2w[:, 0:1], -c2w[:, 2:3],
+                           c2w[:, 3:4], np.array([[H], [W], [focal]])], axis=1)
+    return llff  # [3,5]
+
+
+def test_llff_roundtrip():
+    rng = np.random.default_rng(0)
+    w2cs = [_random_w2c(rng) for _ in range(6)]
+    poses = np.stack([_w2c_to_llff(m) for m in w2cs])
+    back = llff_poses_to_w2c(poses)
+    for want, got in zip(w2cs, back):
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_rotmat2qvec_roundtrip():
+    from ed3dgs_tpu.data.trajectories import _quat_to_rot
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        q2 = rotmat2qvec(_quat_to_rot(q))
+        np.testing.assert_allclose(q2, q, atol=1e-9)
+
+
+def test_convert_poses_to_colmap_db(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 4
+    w2cs = [_random_w2c(rng) for _ in range(n)]
+    poses = np.stack([_w2c_to_llff(m).reshape(-1) for m in w2cs])
+    poses_bounds = np.concatenate([poses, np.tile([[0.1, 10.0]], (n, 1))], axis=1)
+    np.save(tmp_path / "poses_bounds.npy", poses_bounds)
+
+    params = convert_poses_to_colmap_db(str(tmp_path))
+    assert len(params) == n
+
+    # sqlite contents follow the COLMAP schema
+    con = sqlite3.connect(tmp_path / "colmap" / "input.db")
+    cams = con.execute("SELECT camera_id, model, width, height, params "
+                       "FROM cameras").fetchall()
+    imgs = con.execute("SELECT image_id, name, camera_id, prior_qw, prior_tx "
+                       "FROM images ORDER BY image_id").fetchall()
+    con.close()
+    assert len(cams) == n and len(imgs) == n
+    assert cams[0][1] == 1  # PINHOLE
+    p = np.frombuffer(cams[0][4], np.float64)
+    assert p[0] == 120.0 and p[2] == 160 // 2
+    assert imgs[0][1] == "cam00.png"
+
+    # the manual text model parses with this framework's own COLMAP reader
+    # and reproduces the input extrinsics
+    from ed3dgs_tpu.data import colmap
+    manual = str(tmp_path / "colmap" / "manual")
+    images = colmap.read_images_text(os.path.join(manual, "images.txt"))
+    cameras = colmap.read_cameras_text(os.path.join(manual, "cameras.txt"))
+    assert len(images) == n and len(cameras) == n
+    for i, img in sorted(images.items()):
+        R = colmap.qvec_to_rotmat(img.qvec)
+        np.testing.assert_allclose(R, w2cs[i - 1][:3, :3], atol=1e-8)
+        np.testing.assert_allclose(img.tvec, w2cs[i - 1][:3, 3], atol=1e-8)
+
+
+def test_extract_frames_and_input_copy(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    w, h, nf = 32, 24, 5
+    vid = str(tmp_path / "cam00.mp4")
+    vw = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    rng = np.random.default_rng(0)
+    for i in range(nf):
+        vw.write((rng.random((h, w, 3)) * 255).astype(np.uint8))
+    vw.release()
+
+    n = extract_frames(vid, nf)
+    assert n == nf
+    frames = sorted(os.listdir(tmp_path / "images" / "cam00"))
+    assert frames == [f"{i:04d}.png" for i in range(nf)]
+    # re-running skips (idempotent)
+    assert extract_frames(vid, nf) == nf
+
+    prepare_input_images(str(tmp_path))
+    assert os.path.exists(tmp_path / "colmap" / "input" / "cam00.png")
+
+
+def test_run_colmap_pipeline_gated(tmp_path):
+    with pytest.raises(RuntimeError, match="binary not found"):
+        run_colmap_pipeline(str(tmp_path), colmap_bin="definitely-not-colmap")
