@@ -4,9 +4,12 @@ Walks <model_path>/test/ours_<iter>/{renders,gt}, computes per-image PSNR,
 SSIM and (when pretrained weights are locally available) LPIPS, and writes
 results.json / per_view.json in the reference's format (metrics.py:37-101).
 
-LPIPS note: this environment has no network egress to fetch VGG/AlexNet
-weights; if torchvision's cached weights are absent, LPIPS is reported as
-null rather than silently wrong.
+LPIPS note: this environment has no network egress to fetch the pretrained
+backbone/head weights. The full LPIPS computation lives in
+utils/lpips_jax.py and activates when a converted weight file is present
+($ED3DGS_LPIPS_WEIGHTS_VGG / ~/.cache/ed3dgs_tpu/lpips_vgg.npz, see
+lpips_jax.convert_torch_checkpoints); otherwise LPIPS is reported as null
+rather than silently wrong.
 """
 
 from __future__ import annotations
@@ -25,37 +28,15 @@ def load_image(path):
 
 
 def compute_lpips(renders, gts, net="vgg"):
-    """LPIPS via torchvision features, only if weights are cached locally."""
-    try:
-        import torch
-        import torchvision.models as tvm
-        weights = {"vgg": tvm.VGG16_Weights.IMAGENET1K_V1,
-                   "alex": tvm.AlexNet_Weights.IMAGENET1K_V1}[net]
-        model = (tvm.vgg16 if net == "vgg" else tvm.alexnet)(weights=weights)
-    except Exception:
+    """LPIPS via the JAX reimplementation, if converted weights are present."""
+    from ..utils.lpips_jax import load_lpips
+    model = load_lpips(net)
+    if model is None:
         return None
-    model.eval()
-    feats = list(model.features)
-    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-
-    def feat_maps(x):
-        out = []
-        h = (x - mean) / std
-        for i, layer in enumerate(feats):
-            h = layer(h)
-            if isinstance(layer, torch.nn.ReLU):
-                out.append(h / (h.norm(dim=1, keepdim=True) + 1e-10))
-        return out
-
     vals = []
-    with torch.no_grad():
-        for r, g in zip(renders, gts):
-            tr = torch.tensor(r.transpose(2, 0, 1))[None]
-            tg = torch.tensor(g.transpose(2, 0, 1))[None]
-            fr, fg = feat_maps(tr), feat_maps(tg)
-            d = sum(((a - b) ** 2).mean() for a, b in zip(fr, fg)) / len(fr)
-            vals.append(float(d))
+    for r, g in zip(renders, gts):
+        vals.append(float(model(r.transpose(2, 0, 1)[None],
+                                g.transpose(2, 0, 1)[None])[0]))
     return vals
 
 
@@ -87,16 +68,19 @@ def evaluate(model_paths, split="test"):
                 psnrs.append(float(psnr_fn(rc, gc)[0]))
                 ssims.append(float(ssim_fn(rc, gc)))
             lp = compute_lpips(renders, gts, "vgg")
+            lpa = compute_lpips(renders, gts, "alex")
             entry = {
                 "PSNR": float(np.mean(psnrs)) if psnrs else None,
                 "SSIM": float(np.mean(ssims)) if ssims else None,
                 "LPIPS-vgg": float(np.mean(lp)) if lp else None,
+                "LPIPS-alex": float(np.mean(lpa)) if lpa else None,
             }
             results[method] = entry
             per_view[method] = {
                 "PSNR": dict(zip(names, psnrs)),
                 "SSIM": dict(zip(names, ssims)),
                 "LPIPS-vgg": dict(zip(names, lp)) if lp else {},
+                "LPIPS-alex": dict(zip(names, lpa)) if lpa else {},
             }
             print(model_path, method, {k: (round(v, 4) if v else v)
                                        for k, v in entry.items()}, flush=True)
