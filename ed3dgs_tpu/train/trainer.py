@@ -68,6 +68,8 @@ class KnnCache(NamedTuple):
     weights: jnp.ndarray         # [C, 20] exp(-2000 d2), 0 at dead/tongue rows
     t_indices: jnp.ndarray       # [C, 20] tongue graph
     t_weights: jnp.ndarray       # [C, 20]
+    csr: tuple                   # (perm, starts, ends) for the gather backward
+    t_csr: tuple
 
 
 def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
@@ -93,7 +95,11 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
         tw = jnp.where(tmask[:, None], jnp.exp(-2000.0 * jnp.maximum(td2, 0.0)), 0.0)
     else:
         tidx, tw = idx, jnp.zeros_like(w)
-    return KnnCache(idx, w, tidx, tw)
+    # CSR of each gather graph, amortized here (refresh happens only on the
+    # densify cadence) so the per-step backward is a permute + segment-sum
+    csr = L.build_gather_csr(idx, C)
+    t_csr = L.build_gather_csr(tidx, C) if tongue_enabled else csr
+    return KnnCache(idx, w, tidx, tw, csr, t_csr)
 
 
 def _render_one(params, aux, dparams, setup: TrainSetup, settings,
@@ -166,7 +172,8 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
 
         emb_mask = aux.alive & ~(jnp.round(aux.tongue_class[:, 0]) > 0.5)
         emb_loss = L.embedding_knn_loss(gparams.embedding, knn_cache.indices,
-                                        knn_cache.weights, mask=emb_mask)
+                                        knn_cache.weights, mask=emb_mask,
+                                        csr=knn_cache.csr)
         loss = loss + setup.reg_coef * emb_loss
 
         tv_loss = jnp.float32(0.0)
@@ -212,7 +219,8 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             loss = loss + 5.0 * t_l1
             t_emb = L.embedding_knn_loss(gparams.embedding, knn_cache.t_indices,
                                          knn_cache.t_weights,
-                                         mask=aux.alive & tmask)
+                                         mask=aux.alive & tmask,
+                                         csr=knn_cache.t_csr)
             loss = loss + setup.reg_coef * t_emb
 
             settings_last = RenderSettings(

@@ -161,3 +161,22 @@ def test_training_improves_psnr():
     m1 = float(metrics["psnr"])
     assert m1 > m0 + 1.0, (m0, m1)  # at least +1dB in 60 steps
     assert np.isfinite(m1)
+
+
+def test_embedding_knn_loss_csr_matches_autodiff():
+    """gather_rows_csr backward (CSR segment-sum kernel) == XLA autodiff."""
+    rng = np.random.default_rng(3)
+    C, K, E = 96, 5, 32
+    emb = jnp.asarray(rng.normal(size=(C, E)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, C, (C, K)), jnp.int32)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (C, K)), jnp.float32)
+    mask = jnp.asarray(rng.random(C) > 0.2)
+    csr = L.build_gather_csr(idx, C)
+
+    f_plain = lambda e: L.embedding_knn_loss(e, idx, w, mask=mask)
+    f_csr = lambda e: L.embedding_knn_loss(e, idx, w, mask=mask, csr=csr)
+    v0, g0 = jax.value_and_grad(f_plain)(emb)
+    v1, g1 = jax.value_and_grad(f_csr)(emb)
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-7)
