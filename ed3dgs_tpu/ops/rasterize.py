@@ -149,10 +149,15 @@ def _expand_pairs_bwd(res, g):
     K, F = g.shape
     inv = jnp.zeros((K,), jnp.int32).at[perm].set(
         jnp.arange(K, dtype=jnp.int32))
+    # pad lanes to 32 (not 128) BEFORE the gather: row-gather cost scales
+    # with logical width (measured [2M,32] 2.8ms vs [2M,128] 8.0ms on v5e),
+    # and a 26-lane gather must not be left bare — XLA assigns narrow
+    # non-aligned gathers a column-major layout and runs element-at-a-time.
+    # The packed segment-sum consumes the 32-lane rows with no 128-pad pass.
     # pad lanes BEFORE the gather, with a barrier so XLA cannot commute the
-    # pad back through it: a narrow (26-lane) row gather here gets assigned
-    # a column-major layout and runs element-at-a-time (~20x slower than the
-    # row-major 128-lane row-DMA gather)
+    # pad back through it: a narrow row gather here gets assigned a
+    # column-major layout and runs element-at-a-time (measured 85 ms for
+    # [2M,32]{0,1} vs 20 ms for the row-major 128-lane row-DMA gather)
     g128 = jax.lax.optimization_barrier(jnp.pad(g, ((0, 0), (0, (-F) % 128))))
     g_pre = g128[inv]                    # rows back to pair-expansion order
     d_payload = segment_sum_rows(g_pre, seg_starts, seg_ends,

@@ -121,6 +121,112 @@ def segment_sum_rows(rows: jnp.ndarray, starts: jnp.ndarray,
     return out[:S]
 
 
+def _kernel_packed(starts_smem, ends_smem, rows_hbm, st_ref, en_ref, out_ref,
+                   buf, sem, *, chunk: int):
+    """4-packed variant: each 128-lane input row holds FOUR consecutive
+    32-lane pair rows; bounds are in pair units. Four weighted-membership
+    matmuls (one per lane group) reduce the pairs — identical MXU time to the
+    unpacked kernel's single 128-wide matmul, at 1/4 the DMA traffic."""
+    b = pl.program_id(0)
+    rs = starts_smem[b * _BLOCK_S]
+    re = ends_smem[b * _BLOCK_S + _BLOCK_S - 1]   # bounds are monotone (CSR)
+    rs4 = rs // 4                                 # packed-row aligned start
+    n_chunks = pl.cdiv(pl.cdiv(re, 4) - rs4, chunk)
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            rows_hbm.at[pl.ds(rs4 + c * chunk, chunk)],
+            buf.at[slot], sem.at[slot])
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+        dma(slot, c).wait()
+        base = (rs4 + c * chunk) * 4
+        iota4 = 4 * jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        acc = jnp.zeros((_BLOCK_S, 32), jnp.float32)
+        for g in range(4):
+            rid = base + iota4 + g
+            member = ((rid >= st_ref[...]) & (rid < en_ref[...])
+                      ).astype(jnp.float32)         # [128, chunk]
+            acc = acc + jax.lax.dot_general(
+                member, buf[slot][:, 32 * g:32 * (g + 1)],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        out_ref[:, :32] += acc
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def segment_sum_rows_packed(rows: jnp.ndarray, starts: jnp.ndarray,
+                            ends: jnp.ndarray, *, chunk: int = 256,
+                            interpret: bool = False) -> jnp.ndarray:
+    """out[s] = rows[starts[s]:ends[s]].sum(axis=0) for NARROW (<=32 lane)
+    rows, without ever materializing a 128-lane-padded copy.
+
+    The permute-gathers that feed segment sums cost ~4x less at 32 logical
+    lanes than at 128 (row-gather cost scales with logical width — measured
+    2.8ms vs 8.0ms for [2M,*] on v5e), so the whole backward chain stays at
+    width 32: rows are bitcast-reshaped to [R/4, 128] (4 pairs per physical
+    row) and the kernel un-packs via four lane-group matmuls.
+
+    Args:
+      rows: [R, F] float32, F <= 32, segment members contiguous.
+      starts/ends: [S] int32 monotone CSR bounds in ROW units.
+    Returns [S, F] float32 segment sums.
+    """
+    R, F = rows.shape
+    assert F <= 32, f"packed segment sum is for narrow rows, got F={F}"
+    S = starts.shape[0]
+    s_pad = (-S) % _BLOCK_S
+    starts_p = jnp.pad(starts.astype(jnp.int32), (0, s_pad),
+                       constant_values=R)
+    ends_p = jnp.pad(ends.astype(jnp.int32), (0, s_pad), constant_values=R)
+    # one fused pad: lanes -> 32, rows -> multiple of 4 plus a chunk of DMA
+    # slack; then the 4-pack reshape (same linear byte order)
+    row_pad = (-R) % 4 + 4 * chunk
+    rows_p = jnp.pad(rows, ((0, row_pad), (0, 32 - F)))
+    rows_pk = rows_p.reshape(-1, 128)
+    sp = S + s_pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sp // _BLOCK_S,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_S, 128), lambda b, *_: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, chunk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(64 * 1024 * 1024)),
+    )(starts_p, ends_p, rows_pk, starts_p[:, None], ends_p[:, None])
+    return out[:S, :F]
+
+
 def segment_sum_rows_ref(rows, starts, ends):
     """jnp oracle for tests (O(S*R) one-hot matmul; tiny inputs only)."""
     R = rows.shape[0]

@@ -87,7 +87,10 @@ def shard_batch(mesh: Mesh, batch):
 
 
 def shard_knn_cache(mesh: Mesh, cache):
-    return jax.device_put(cache, gauss_sharding(mesh, cache))
+    # the prepared KNN graph mixes gaussian-, pair- and schedule-indexed
+    # arrays; the fused loss kernels (ops/knn_loss.py) run replicated (the
+    # embedding table is small), so the cache is replicated too
+    return jax.device_put(cache, replicated(mesh, cache))
 
 
 def make_sharded_train_step(train_step, mesh: Mesh, state: TrainState,
@@ -98,7 +101,7 @@ def make_sharded_train_step(train_step, mesh: Mesh, state: TrainState,
     st_sh = state_shardings(mesh, state)
     aux_sh = aux_shardings(mesh, aux)
     in_sh = (st_sh, aux_sh, batch_shardings(mesh, batch),
-             gauss_sharding(mesh, knn_cache))
+             replicated(mesh, knn_cache))
     # metrics replicated
     out_sh = (st_sh, aux_sh, None)
     return jax.jit(train_step, in_shardings=in_sh, out_shardings=out_sh)

@@ -73,106 +73,17 @@ def weighted_l2_loss_v2(x, y, w):
     return jnp.mean(jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1) * w + 1e-20))
 
 
-def build_gather_csr(indices, num_rows):
-    """CSR structure of a flat gather-index array, grouped by target row:
-    (perm, starts, ends) with perm = stable argsort of the indices. Computed
-    once per KNN-cache refresh (densify cadence), consumed every step by
-    `gather_rows_csr`'s backward."""
-    flat = indices.reshape(-1).astype(jnp.int32)
-    perm = jnp.argsort(flat, stable=True).astype(jnp.int32)
-    sorted_flat = flat[perm]
-    rows = jnp.arange(num_rows, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_flat, rows, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_flat, rows, side="right").astype(jnp.int32)
-    return perm, starts, ends
-
-
-@jax.custom_vjp
-def gather_rows_csr(table, flat_idx, perm, starts, ends):
-    """table[flat_idx] with a deterministic CSR segment-sum backward.
-
-    XLA lowers the autodiff backward of a [C,K] fancy-index gather to a
-    per-channel while-loop scatter (measured ~50 ms/step at C=100k, K=20,
-    E=32 on v5e); re-permuting the cotangent rows into by-target order and
-    reducing with the Pallas CSR kernel replaces all of it."""
-    return table[flat_idx]
-
-
-def _gather_rows_csr_fwd(table, flat_idx, perm, starts, ends):
-    return table[flat_idx], (perm, starts, ends, table.shape)
-
-
-def _gather_rows_csr_bwd(res, g):
-    from ..ops.segment_sum import segment_sum_rows
-    perm, starts, ends, tshape = res
-    P, F = g.shape
-    # pad lanes to 128 BEFORE the permutation gather (barrier stops XLA from
-    # commuting the pad inside, where a narrow row gather gets a column-major
-    # layout and runs element-at-a-time — see ops/rasterize.py:_expand_pairs)
-    g128 = jax.lax.optimization_barrier(jnp.pad(g, ((0, 0), (0, (-F) % 128))))
-    g_csr = g128[perm]
-    d = segment_sum_rows(g_csr, starts, ends,
-                         interpret=jax.default_backend() == "cpu")
-    return d[:tshape[0], :F], None, None, None, None
-
-
-gather_rows_csr.defvjp(_gather_rows_csr_fwd, _gather_rows_csr_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _repeat_rows(emb, K):
-    """Each row repeated K times -> [C*K, E], with a backward that reduces
-    over the K block via one MXU matmul. The autodiff backward of
-    broadcast_to+reshape is a middle-axis reduce that XLA lays out
-    channel-major ([E, C, K]) and then bridges with per-channel while-loops
-    (~20 ms/step at C=100k) — the matmul keeps everything row-major."""
-    C, E = emb.shape
-    return jnp.reshape(jnp.broadcast_to(emb[:, None, :], (C, K, E)), (C * K, E))
-
-
-def _repeat_rows_fwd(emb, K):
-    return _repeat_rows(emb, K), emb.shape
-
-
-def _repeat_rows_bwd(K, shape, g):
-    C, E = shape
-    sel = jnp.reshape(jnp.broadcast_to(jnp.eye(E, dtype=g.dtype)[None],
-                                       (K, E, E)), (K * E, E))
-    return (g.reshape(C, K * E) @ sel,)
-
-
-_repeat_rows.defvjp(_repeat_rows_fwd, _repeat_rows_bwd)
-
-
-def _lane_sum(x):
-    """Row-wise sum over the minor (lane) axis as an MXU matvec: a plain
-    jnp.sum(axis=1) reduce here is what drives XLA to the channel-major
-    layout in the first place."""
-    return x @ jnp.ones((x.shape[1],), x.dtype)
-
-
-def embedding_knn_loss(embedding, neighbor_indices, neighbor_weight, mask=None,
-                       csr=None):
+def embedding_knn_loss(embedding, neighbor_indices, neighbor_weight, mask=None):
     """Per-Gaussian embedding smoothness vs its cached 20-NN
     (train.py:231-235). `neighbor_indices` index into the same embedding
     array; masked rows contribute 0 (weights pre-zeroed for dead slots).
-    With `csr` (from build_gather_csr) the neighbor gather's backward runs
-    through the deterministic CSR segment-sum kernel instead of XLA's
-    while-loop scatter."""
-    C, K = neighbor_indices.shape
-    if csr is None:
-        emb_knn = embedding[neighbor_indices]       # [N, K, E]
-        emb = embedding[:, None, :]
-        d2 = jnp.sum((emb - emb_knn) ** 2, axis=-1)
-    else:
-        # flat [P,E] row-major formulation: a [C,K,E]-shaped consumer makes
-        # XLA assign the gather a channel-major layout and lower it to
-        # per-channel while-loops (~19 ms/step at C=100k); the barriers pin
-        # the flat rows so everything stays vectorized row ops
-        ej = gather_rows_csr(embedding, neighbor_indices.reshape(-1), *csr)
-        ej = jax.lax.optimization_barrier(ej)       # [P, E] pair rows
-        ei = _repeat_rows(embedding, K)
-        d2 = _lane_sum((ei - ej) ** 2).reshape(C, K)
+
+    This is the small-scale oracle; the train step uses the fused two-pass
+    kernel (ops/knn_loss.py), which matches it to float tolerance — see
+    tests/test_knn_loss.py."""
+    emb_knn = embedding[neighbor_indices]           # [N, K, E]
+    emb = embedding[:, None, :]
+    d2 = jnp.sum((emb - emb_knn) ** 2, axis=-1)
     per = jnp.sqrt(d2 * neighbor_weight + 1e-20)
     if mask is None:
         return jnp.mean(per)

@@ -22,6 +22,7 @@ import optax
 from ..config.params import DeformHiddenConfig, ModelConfig, OptimizationConfig
 from ..models import gaussians as gm
 from ..models.deformation import init_deform_params
+from ..ops import knn_loss
 from ..ops.knn import knn as knn_op
 from ..ops.rasterize import RasterConfig
 from ..render import RenderSettings, render
@@ -63,20 +64,26 @@ class TrainSetup:
 
 
 
+KNN_CHUNK = 1024        # pair rows per pass-B grid step (ops/knn_loss.py)
+
+
 class KnnCache(NamedTuple):
-    indices: jnp.ndarray         # [C, 20] global indices (non-tongue graph)
-    weights: jnp.ndarray         # [C, 20] exp(-2000 d2), 0 at dead/tongue rows
-    t_indices: jnp.ndarray       # [C, 20] tongue graph
-    t_weights: jnp.ndarray       # [C, 20]
-    csr: tuple                   # (perm, starts, ends) for the gather backward
-    t_csr: tuple
+    graph: knn_loss.KnnGraph     # non-tongue embedding graph (prepared)
+    t_graph: knn_loss.KnnGraph   # tongue graph (== graph when tongue off)
+
+
+def _masked_coef(mask, k):
+    m = mask.astype(jnp.float32)
+    return m / jnp.maximum(jnp.sum(m) * k, 1.0)
 
 
 def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
                      tongue_enabled: bool = False, k: int = 20) -> KnnCache:
     """Recompute the embedding-regularizer neighborhood graph
     (train.py:217-229) — on-device, replacing the reference's CPU Open3D
-    KDTree stall."""
+    KDTree stall. The graph is fully prepared here (CSR sort, per-pair
+    weight/coef pre-gathers, block-sparse schedule) so the per-step loss is
+    the two fused kernels of ops/knn_loss.py."""
     tongue = jnp.round(aux.tongue_class[:, 0]) > 0.5
     mask = aux.alive & ~tongue
     C = aux.alive.shape[0]
@@ -88,18 +95,20 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     pts = jnp.where(mask[:, None], params.xyz, far)
     d2, idx = knn_op(pts, k=k)
     w = jnp.where(mask[:, None], jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
+    graph = knn_loss.prepare_knn_graph(idx, w, _masked_coef(mask, k),
+                                       chunk=KNN_CHUNK)
     if tongue_enabled:
         tmask = aux.alive & tongue
         tpts = jnp.where(tmask[:, None], params.xyz, -far)
         td2, tidx = knn_op(tpts, k=k)
-        tw = jnp.where(tmask[:, None], jnp.exp(-2000.0 * jnp.maximum(td2, 0.0)), 0.0)
+        tw = jnp.where(tmask[:, None],
+                       jnp.exp(-2000.0 * jnp.maximum(td2, 0.0)), 0.0)
+        t_graph = knn_loss.prepare_knn_graph(tidx, tw,
+                                             _masked_coef(tmask, k),
+                                             chunk=KNN_CHUNK)
     else:
-        tidx, tw = idx, jnp.zeros_like(w)
-    # CSR of each gather graph, amortized here (refresh happens only on the
-    # densify cadence) so the per-step backward is a permute + segment-sum
-    csr = L.build_gather_csr(idx, C)
-    t_csr = L.build_gather_csr(tidx, C) if tongue_enabled else csr
-    return KnnCache(idx, w, tidx, tw, csr, t_csr)
+        t_graph = graph
+    return KnnCache(graph, t_graph)
 
 
 def _render_one(params, aux, dparams, setup: TrainSetup, settings,
@@ -170,10 +179,9 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
         if setup.opacity_l1_coef > 0:
             loss = loss + setup.opacity_l1_coef * opa_loss
 
-        emb_mask = aux.alive & ~(jnp.round(aux.tongue_class[:, 0]) > 0.5)
-        emb_loss = L.embedding_knn_loss(gparams.embedding, knn_cache.indices,
-                                        knn_cache.weights, mask=emb_mask,
-                                        csr=knn_cache.csr)
+        emb_loss = knn_loss.knn_loss_fused(
+            gparams.embedding, knn_cache.graph, KNN_CHUNK,
+            jax.default_backend() == "cpu")
         loss = loss + setup.reg_coef * emb_loss
 
         tv_loss = jnp.float32(0.0)
@@ -217,10 +225,9 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             t_l1 = L.l1_loss(gt_tongue[None], r_last["tongue_mask"][None],
                              keepdim=True).mean()
             loss = loss + 5.0 * t_l1
-            t_emb = L.embedding_knn_loss(gparams.embedding, knn_cache.t_indices,
-                                         knn_cache.t_weights,
-                                         mask=aux.alive & tmask,
-                                         csr=knn_cache.t_csr)
+            t_emb = knn_loss.knn_loss_fused(
+                gparams.embedding, knn_cache.t_graph, KNN_CHUNK,
+                jax.default_backend() == "cpu")
             loss = loss + setup.reg_coef * t_emb
 
             settings_last = RenderSettings(

@@ -163,20 +163,27 @@ def test_training_improves_psnr():
     assert np.isfinite(m1)
 
 
-def test_embedding_knn_loss_csr_matches_autodiff():
-    """gather_rows_csr backward (CSR segment-sum kernel) == XLA autodiff."""
-    rng = np.random.default_rng(3)
-    C, K, E = 96, 5, 32
-    emb = jnp.asarray(rng.normal(size=(C, E)), jnp.float32)
-    idx = jnp.asarray(rng.integers(0, C, (C, K)), jnp.int32)
-    w = jnp.asarray(rng.uniform(0.1, 1.0, (C, K)), jnp.float32)
-    mask = jnp.asarray(rng.random(C) > 0.2)
-    csr = L.build_gather_csr(idx, C)
+def test_update_knn_cache_builds_consistent_graph():
+    """The prepared graph's fused loss equals the oracle formula the trainer
+    used to call directly (masked mean over the alive&non-tongue rows)."""
+    from ed3dgs_tpu.ops.knn_loss import knn_loss_fused
+    from ed3dgs_tpu.train.trainer import KNN_CHUNK, update_knn_cache
 
-    f_plain = lambda e: L.embedding_knn_loss(e, idx, w, mask=mask)
-    f_csr = lambda e: L.embedding_knn_loss(e, idx, w, mask=mask, csr=csr)
-    v0, g0 = jax.value_and_grad(f_plain)(emb)
-    v1, g1 = jax.value_and_grad(f_csr)(emb)
-    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
-                               rtol=1e-5, atol=1e-7)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1, 1, (60, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (60, 3)).astype(np.float32)
+    params, aux = gm.create_from_points(pts, cols, capacity=96)
+    cache = update_knn_cache(params, aux, tongue_enabled=False, k=5)
+    emb = params.embedding
+
+    v = knn_loss_fused(emb, cache.graph, KNN_CHUNK, True)
+
+    tongue = jnp.round(aux.tongue_class[:, 0]) > 0.5
+    mask = aux.alive & ~tongue
+    far = 1e3 + 1e-3 * jnp.arange(96, dtype=jnp.float32)[:, None]
+    pts = jnp.where(mask[:, None], params.xyz, far)
+    from ed3dgs_tpu.ops.knn import knn as knn_op
+    d2, idx = knn_op(pts, k=5)
+    w = jnp.where(mask[:, None], jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
+    v0 = L.embedding_knn_loss(emb, idx, w, mask=mask)
+    assert float(v) == pytest.approx(float(v0), rel=1e-5)
