@@ -35,7 +35,7 @@ fov = math.radians(50.0)
 cam = look_at_camera((0, 0, 0), (0, 0, 2.0), (0, -1, 0), fov,
                      2 * math.atan(math.tan(fov / 2) * h / w), w, h).matrices()
 rcfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x, focal_y=cam.focal_y,
-                    pair_capacity=1 << 21, chunk=128, backend="pallas",
+                    pair_capacity=1 << 20, chunk=128, backend="pallas",
                     max_per_tile=2048)
 state, optimizer = init_train_state(params, hidden, opt_cfg, 1.0)
 setup = TrainSetup(raster=rcfg, hidden=hidden, batch_size=1,
