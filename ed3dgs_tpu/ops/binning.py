@@ -55,16 +55,29 @@ def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
       pair_capacity: static pair-buffer size K.
     """
     grid_x, grid_y = tile_grid(width, height)
+    return bin_rows(proj.depth, proj.valid, proj.tiles_touched,
+                    proj.rect_min, proj.rect_max,
+                    grid_x=grid_x, grid_y=grid_y, pair_capacity=pair_capacity)
+
+
+def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
+             grid_x: int, grid_y: int, pair_capacity: int) -> BinnedPairs:
+    """bin_gaussians over bare per-splat arrays and an explicit tile grid.
+
+    The tile-sharded distributed path (parallel/tile_sharded.py) calls this
+    with strip-local rects and a strip-sized grid; the rect fields must
+    already be clamped to [0, grid) and consistent with tiles_touched.
+    """
     num_tiles = grid_x * grid_y
-    N = proj.depth.shape[0]
+    N = depth.shape[0]
     K = pair_capacity
     # bit budget of the packed per-slot rect word below
     assert grid_x <= 511 and grid_y < 2048, "image too large for rect packing"
 
-    sort_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    sort_key = jnp.where(valid, depth, jnp.inf)
     order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
 
-    tiles_sorted = proj.tiles_touched[order].astype(jnp.int32)
+    tiles_sorted = tiles_touched[order].astype(jnp.int32)
     offsets = jnp.cumsum(tiles_sorted)          # inclusive scan, [N]
     total = offsets[-1]
     excl = offsets - tiles_sorted               # exclusive scan
@@ -97,8 +110,8 @@ def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
     # +packed is scattered at each gaussian's first slot and -packed one past
     # its last, so an inclusive cumsum telescopes to exactly the owning
     # gaussian's packed word at every slot (int32 adds are exact).
-    rmin = proj.rect_min[order]                  # [N, 2] (N-sized gather: cheap)
-    rmax = proj.rect_max[order]
+    rmin = rect_min[order]                       # [N, 2] (N-sized gather: cheap)
+    rmax = rect_max[order]
     rw_g = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)
     packed_g = rmin[:, 0] | (rmin[:, 1] << 11) | (rw_g << 22)
     pk = jnp.zeros((K,), jnp.int32)

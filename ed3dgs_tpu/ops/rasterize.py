@@ -25,11 +25,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core.projection import ProjectedGaussians
-from .binning import PAYLOAD_PAD, bin_gaussians, build_gaussian_payload, tile_grid
+from .binning import (PAYLOAD_PAD, bin_gaussians, bin_rows,
+                      build_gaussian_payload, tile_grid)
 from .common import RasterOutputs, TILE
 from . import rasterize_pallas as rp
 from .rasterize_ref import rasterize_reference
-from .rasterize_tiles import rasterize_tiles
+from .rasterize_tiles import rasterize_rows_tiles, rasterize_tiles
 from .segment_sum import segment_sum_rows
 
 
@@ -81,31 +82,35 @@ def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
 # plain jnp upstream (the gather's transpose gives the deterministic
 # per-gaussian scatter-add that replaces the reference's atomics).
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _packed_tiles(pair_payload, tile_start, tile_count, meta):
-    return _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _packed_tiles(pair_payload, tile_start, tile_count, half_wh, meta):
+    return _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh,
+                              meta)
 
 
-def _packed_tiles_impl(pair_payload, tile_start, tile_count, meta):
+def _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta):
     (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
     return rp.rasterize_pallas_forward(
         pair_payload, tile_start, tile_count,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
-        focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
+        focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret,
+        half_wh=half_wh)
 
 
-def _packed_tiles_fwd(pair_payload, tile_start, tile_count, meta):
-    packed = _packed_tiles_impl(pair_payload, tile_start, tile_count, meta)
-    return packed, (pair_payload, tile_start, tile_count, packed)
+def _packed_tiles_fwd(pair_payload, tile_start, tile_count, half_wh, meta):
+    packed = _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh,
+                                meta)
+    return packed, (pair_payload, tile_start, tile_count, half_wh, packed)
 
 
 def _packed_tiles_bwd(meta, res, cot):
     (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
-    pair_payload, tile_start, tile_count, packed = res
+    pair_payload, tile_start, tile_count, half_wh, packed = res
     dpay, clive = rp.rasterize_pallas_backward(
         pair_payload, tile_start, tile_count, packed, cot,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
-        focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret)
+        focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret,
+        half_wh=half_wh)
     # The kernel writes only each tile's live chunks; every other row
     # (saturation-dead chunks, sentinel padding) is uninitialized memory with
     # an exactly-zero true gradient — mask it here. The per-row live limit is
@@ -123,7 +128,7 @@ def _packed_tiles_bwd(meta, res, cot):
         jnp.concatenate([limit, -limit]), mode="drop")
     live = row < jnp.cumsum(lim_row)
     dpay = jnp.where(live[:, None], dpay, 0.0)
-    return dpay, None, None
+    return dpay, None, None, None
 
 
 _packed_tiles.defvjp(_packed_tiles_fwd, _packed_tiles_bwd)
@@ -169,11 +174,22 @@ _expand_pairs.defvjp(_expand_pairs_fwd, _expand_pairs_bwd)
 
 
 def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> RasterOutputs:
-    bins = bin_gaussians(proj, width=cfg.width, height=cfg.height,
-                         pair_capacity=cfg.pair_capacity)
     # gather unpadded rows (lane-pad after, so transposes stay 26 wide);
     # _expand_pairs carries the custom segment-sum backward
     payload = build_gaussian_payload(proj, tongue, pad=False)
+    grid_x, grid_y = tile_grid(cfg.width, cfg.height)
+    return _pallas_forward_rows(
+        payload, proj.depth, proj.valid, proj.rect_min, proj.rect_max,
+        proj.tiles_touched, bg, cfg, grid_x=grid_x, grid_y=grid_y)
+
+
+def _pallas_forward_rows(payload, depth, valid, rect_min, rect_max,
+                         tiles_touched, bg, cfg: RasterConfig, *,
+                         grid_x: int, grid_y: int,
+                         half_w=None, half_h=None) -> RasterOutputs:
+    bins = bin_rows(depth, valid, tiles_touched, rect_min, rect_max,
+                    grid_x=grid_x, grid_y=grid_y,
+                    pair_capacity=cfg.pair_capacity)
     payload_sorted = payload[bins.order]
     pair_payload = _expand_pairs(payload_sorted, bins.pair_gauss,
                                  bins.pair_perm, bins.seg_starts,
@@ -181,13 +197,40 @@ def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> 
     pair_payload = jnp.pad(
         pair_payload,
         ((0, cfg.chunk), (0, PAYLOAD_PAD - pair_payload.shape[-1])))
-    grid_x, grid_y = bins.grid
     num_tiles = grid_x * grid_y
     meta = (num_tiles, grid_x, cfg.width, cfg.height,
             cfg.focal_x, cfg.focal_y, cfg.chunk, cfg.interpret)
+    hw = cfg.width / 2.0 if half_w is None else half_w
+    hh = cfg.height / 2.0 if half_h is None else half_h
+    half_wh = jnp.stack([jnp.asarray(hw, jnp.float32),
+                         jnp.asarray(hh, jnp.float32)])
     packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count,
-                           meta)
+                           half_wh, meta)
     return _unpack_pallas(packed, bg, cfg, bins.grid)
+
+
+def rasterize_rows(payload, depth, valid, rect_min, rect_max, tiles_touched,
+                   bg, cfg: RasterConfig, *, grid_x: int, grid_y: int,
+                   half_w=None, half_h=None) -> RasterOutputs:
+    """Backend-dispatched rasterization over bare splat rows + explicit grid.
+
+    The tile-sharded distributed path (parallel/tile_sharded.py) calls this
+    per image strip after the payload exchange; mean2d / rects are
+    strip-local and half_w/half_h carry the full image's ray origin.
+    """
+    backend = _resolve_backend(cfg.backend)
+    if backend == "pallas":
+        return _pallas_forward_rows(
+            payload, depth, valid, rect_min, rect_max, tiles_touched, bg, cfg,
+            grid_x=grid_x, grid_y=grid_y, half_w=half_w, half_h=half_h)
+    if backend == "xla":
+        return rasterize_rows_tiles(
+            payload, depth, valid, rect_min, rect_max, tiles_touched, bg,
+            grid_x=grid_x, grid_y=grid_y, width=cfg.width, height=cfg.height,
+            focal_x=cfg.focal_x, focal_y=cfg.focal_y, half_w=half_w,
+            half_h=half_h, pair_capacity=cfg.pair_capacity,
+            max_per_tile=cfg.max_per_tile, chunk=min(cfg.chunk, 64))
+    raise ValueError(f"rasterize_rows: unsupported backend {backend}")
 
 
 def _xla_forward(proj, tongue, bg, cfg: RasterConfig) -> RasterOutputs:

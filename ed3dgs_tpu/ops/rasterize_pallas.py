@@ -263,6 +263,15 @@ def _forward_kernel(
     out_ref[0] = packed
 
 
+def _kernel_params(focal_x, focal_y, width, height, grid_x, half_wh):
+    """[6] f32 scalar-prefetch vector; half_wh may be traced (shard_map)."""
+    if half_wh is None:
+        half_wh = jnp.array([width / 2.0, height / 2.0], jnp.float32)
+    head = jnp.array([focal_x, focal_y], jnp.float32)
+    tail = jnp.array([float(grid_x), 0.0], jnp.float32)
+    return jnp.concatenate([head, half_wh.astype(jnp.float32), tail])
+
+
 def _backward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, params_ref,
@@ -566,16 +575,14 @@ def rasterize_pallas_backward(
     pair_payload, tile_start, tile_count, packed, cot_packed,
     *, num_tiles, grid_x, width, height, focal_x, focal_y,
     chunk: int = 128, max_chunks: int = 512, interpret: bool = False,
+    half_wh=None,
 ):
     """Returns (d pair_payload [K+chunk, PAYLOAD_PAD], live_chunks [T, 1]).
 
     Rows of chunks past a tile's live count are NOT written (their gradient is
     exactly zero); the caller must mask them out with live_chunks.
     """
-    params = jnp.array(
-        [focal_x, focal_y, width / 2.0, height / 2.0, float(grid_x), 0.0],
-        dtype=jnp.float32,
-    )
+    params = _kernel_params(focal_x, focal_y, width, height, grid_x, half_wh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
@@ -627,12 +634,16 @@ def rasterize_pallas_forward(
     focal_y: float,
     chunk: int = 128,
     interpret: bool = False,
+    half_wh=None,
 ) -> jnp.ndarray:
-    """Run the forward kernel; returns packed [T, PIX, OUT_PAD] channels."""
-    params = jnp.array(
-        [focal_x, focal_y, width / 2.0, height / 2.0, float(grid_x), 0.0],
-        dtype=jnp.float32,
-    )
+    """Run the forward kernel; returns packed [T, PIX, OUT_PAD] channels.
+
+    half_wh ([2] f32 array) overrides the ray-direction origin
+    (u = (px - half_w)/focal): the tile-sharded path rasterizes an image
+    strip whose local pixel (0, 0) is not the full image's corner; the value
+    may be traced (it depends on lax.axis_index under shard_map).
+    """
+    params = _kernel_params(focal_x, focal_y, width, height, grid_x, half_wh)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.projection import ProjectedGaussians
-from .binning import (PAYLOAD_SLICES, BinnedPairs, bin_gaussians,
+from .binning import (PAYLOAD_SLICES, BinnedPairs, bin_gaussians, bin_rows,
                       build_gaussian_payload)
 from .common import (ALPHA_MAX, ALPHA_MIN, MEDIAN_T, NORMALIZE_EPS, T_STOP,
                      TILE, RasterOutputs, safe_div)
@@ -184,10 +184,41 @@ def rasterize_tiles(
                             focal_x=focal_x, focal_y=focal_y, grid=(grid_x, grid_y))
 
 
+def rasterize_rows_tiles(
+    payload: jnp.ndarray,        # [N, F>=26] splat rows (strip-local mean2d)
+    depth, valid, rect_min, rect_max, tiles_touched,
+    bg: jnp.ndarray,
+    *,
+    grid_x: int, grid_y: int,
+    width: int, height: int,
+    focal_x: float, focal_y: float,
+    half_w=None, half_h=None,
+    pair_capacity: int, max_per_tile: int = 1024, chunk: int = 64,
+) -> RasterOutputs:
+    """XLA tiled forward over bare splat rows and an explicit grid.
+
+    Entry point for the tile-sharded distributed path: rects/mean2d are in
+    strip-local coordinates, half_w/half_h give the ray origin of the full
+    image so ray directions stay global.
+    """
+    bins = bin_rows(depth, valid, tiles_touched, rect_min, rect_max,
+                    grid_x=grid_x, grid_y=grid_y, pair_capacity=pair_capacity)
+    payload_sorted = payload[bins.order]
+    tiles_payload, lmask = gather_tile_lists(bins, payload_sorted, max_per_tile)
+    px, py = _tile_pixel_coords(grid_x, grid_y)
+    out = blend_tiles(tiles_payload, lmask, px, py, chunk=chunk)
+    return finalize_outputs(out, bg, width=width, height=height,
+                            focal_x=focal_x, focal_y=focal_y,
+                            grid=(grid_x, grid_y), half_w=half_w, half_h=half_h)
+
+
 def finalize_outputs(carry: _Carry, bg: jnp.ndarray, *, width: int, height: int,
-                     focal_x: float, focal_y: float, grid) -> RasterOutputs:
+                     focal_x: float, focal_y: float, grid,
+                     half_w=None, half_h=None) -> RasterOutputs:
     """Assemble [C, H, W] images from per-tile accumulators (forward.cu:757-821)."""
     grid_x, grid_y = grid
+    half_w = width / 2.0 if half_w is None else half_w
+    half_h = height / 2.0 if half_h is None else half_h
 
     def to_img(x, c):
         # [T, PIX(, c)] -> [gy, gx, 16, 16, c] -> [H_pad, W_pad, c] -> crop
@@ -195,8 +226,8 @@ def finalize_outputs(carry: _Carry, bg: jnp.ndarray, *, width: int, height: int,
         x = x.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, c)
         return x[:height, :width].transpose(2, 0, 1)
 
-    u = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) / focal_x
-    v = (jnp.arange(height, dtype=jnp.float32) - height / 2.0) / focal_y
+    u = (jnp.arange(width, dtype=jnp.float32) - half_w) / focal_x
+    v = (jnp.arange(height, dtype=jnp.float32) - half_h) / focal_y
     ln = jnp.sqrt(u[None, :] ** 2 + v[:, None] ** 2 + 1.0)  # [H, W]
 
     color = to_img(carry.color, 3) + to_img(carry.transmittance[..., None], 1) * bg[:, None, None]
