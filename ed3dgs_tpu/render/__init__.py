@@ -65,12 +65,18 @@ def render(
     tongue_filter: Optional[str] = None,  # None | "only" | "without"
     mean2d_offset: Optional[jnp.ndarray] = None,
     active_sh_degree=None,
+    mesh=None,
+    send_capacity: Optional[int] = None,
 ) -> dict:
     """One differentiable render (reference gaussian_renderer.render :8-142).
 
     tongue_filter implements render_tongue / render_without_tongue
     (:145-431): the full set is deformed, then only the (non-)tongue subset
     rasterized via the validity mask.
+
+    mesh: optional jax Mesh with a "gauss" axis — renders this one camera
+    across all chips via tile-sharded rasterization
+    (parallel/tile_sharded.py); params/aux should be gauss-sharded.
     """
     shs = gm.get_features(params)
     if disable_deform:
@@ -118,7 +124,15 @@ def render(
         kernel_size=kernel_size, sh_degree=sh_degree, mask=mask,
         mean2d_offset=mean2d_offset,
     )
-    out = rasterize(proj, aux.tongue_class[:, 0], bg, raster_cfg)
+    if mesh is not None:
+        # multi-chip single-camera scaling: Gaussian-sharded projection above,
+        # explicit payload exchange + strip-sharded blending below
+        from ..parallel.tile_sharded import tile_sharded_rasterize
+        out, _ = tile_sharded_rasterize(proj, aux.tongue_class[:, 0], bg,
+                                        raster_cfg, mesh,
+                                        send_capacity=send_capacity)
+    else:
+        out = rasterize(proj, aux.tongue_class[:, 0], bg, raster_cfg)
 
     return {
         "render": out.color,
