@@ -11,13 +11,18 @@ gathers its tile's splat list (same binning as rendering) and evaluates all
 alphas at once with a masked cumulative product — no sequential per-splat
 loop.
 
-Simplifications vs the CUDA kernel (documented deviations, offline tooling):
-  * the reference pre-filters tile splats by a 5-subpixel-corner visibility
-    pass (forward.cu:1233-1287); we evaluate the point ray directly, with the
-    same alpha/power thresholds, which differs only by splats whose central
-    alpha test disagrees with all four corner tests;
-  * the ill-conditioned eigen fallback for the ray covariance uses the
-    pseudo-inverse (see core.projection.compute_invraycov).
+Matches the reference's 5-subpixel-corner prefilter (forward.cu:1233-1287):
+pass 1 walks the point's pixel tile list evaluating the 2D conic alpha at the
+pixel center and the four half-pixel corners, each with its own running
+transmittance that only updates while `T*(1-alpha) >= 1e-4` (the skip-clamp,
+forward.cu:1256-1261); a splat is "used" if any of the 5 evaluations passes.
+Pass 2 blends ONLY used splats with the 3D ray-space covariance alpha at the
+point's exact position (forward.cu:1455-1487). The per-corner recurrence is
+data-dependent (a skipped splat leaves T unchanged), so pass 1 is an exact
+lax.scan over the tile list — fine for offline mesh tooling.
+
+Remaining deviation: the ill-conditioned eigen fallback for the ray
+covariance uses the pseudo-inverse (see core.projection.compute_invraycov).
 """
 
 from __future__ import annotations
@@ -64,7 +69,7 @@ def integrate_points(
     focal_y: float,
     pair_capacity: int = 1 << 20,
     max_per_tile: int = 1024,
-    point_chunk: int = 4096,
+    point_chunk: int = 1024,   # the [L, pc, 5] prefilter scan inputs scale with this
     chunk: int = 64,
 ) -> IntegrateOutputs:
     """proj must be built with compute_invraycov=True."""
@@ -88,6 +93,7 @@ def integrate_points(
     g_rp = proj.ray_plane[order]
     g_icr = proj.invraycov[order]
     g_well = proj.well_conditioned[order]
+    g_con = proj.conic[order]
 
     L = max_per_tile
     slots = bins.tile_start[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -99,6 +105,11 @@ def integrate_points(
     P = points3d.shape[0]
     n_chunks = -(-P // point_chunk)
     pad = n_chunks * point_chunk - P
+
+    # pixel-center subpixel offsets of the 5-corner prefilter
+    # (forward.cu:1191-1193)
+    off_x = jnp.asarray([0.0, -0.5, 0.5, -0.5, 0.5], jnp.float32)
+    off_y = jnp.asarray([0.0, -0.5, -0.5, 0.5, 0.5], jnp.float32)
 
     def chunk_fn(start):
         idx = start + jnp.arange(point_chunk)
@@ -112,8 +123,34 @@ def integrate_points(
         rp = g_rp[ranks]
         icr = g_icr[ranks]
         well = g_well[ranks]
+        con = g_con[ranks]                       # [pc, L, 3]
         pxy = point_xy[idx_c][:, None, :]
         pd = point_depth[idx_c][:, None]
+
+        # ---- pass 1: 5-corner pixel prefilter (forward.cu:1233-1287) ----
+        # evaluated at the point's PIXEL center +- half-pixel offsets; each
+        # corner keeps its own transmittance with the skip-clamp `only update
+        # if T*(1-a) >= 1e-4`, which is a data-dependent recurrence -> scan.
+        pixf = jnp.floor(point_xy[idx_c]) + 0.5          # [pc, 2]
+        cdx = xy[..., 0:1] - (pixf[:, None, 0:1] + off_x)      # [pc, L, 5]
+        cdy = xy[..., 1:2] - (pixf[:, None, 1:2] + off_y)
+        cpow = (-0.5 * (con[..., 0:1] * cdx * cdx + con[..., 2:3] * cdy * cdy)
+                - con[..., 1:2] * cdx * cdy)
+        calpha = jnp.minimum(ALPHA_MAX, op[..., None] * jnp.exp(cpow))
+        cpass = (m[..., None] & (cpow <= 0.0) & (calpha >= ALPHA_MIN))
+
+        def corner_step(T, inp):
+            a_l, p_l = inp                               # [pc, 5]
+            test = T * (1.0 - a_l)
+            upd = p_l & (test >= 1e-4)
+            return jnp.where(upd, test, T), jnp.any(upd, axis=-1)
+
+        _, used_l = jax.lax.scan(
+            corner_step, jnp.ones((point_chunk, 5), jnp.float32),
+            (jnp.moveaxis(calpha, 1, 0), jnp.moveaxis(cpass, 1, 0)))
+        used = jnp.moveaxis(used_l, 0, 1)                # [pc, L]
+
+        # ---- pass 2: 3D ray-space blend of used splats (:1455-1487) ----
         d = xy - pxy                              # [pc, L, 2]
         depth = ts + rp[..., 0] * d[..., 0] + rp[..., 1] * d[..., 1]
         dz = jnp.where(well, ts - jnp.minimum(pd, depth), ts)
@@ -125,7 +162,7 @@ def integrate_points(
                      + icr[..., 4] * d[..., 1] * dz))
         alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
         alpha = jnp.where(~well & (pd < depth), 0.0, alpha)
-        passes = m & (alpha >= ALPHA_MIN)
+        passes = used & (alpha >= ALPHA_MIN)
         a = jnp.where(passes, alpha, 0.0)
         om = 1.0 - a
         p_excl = jnp.cumprod(om, axis=1) / om
