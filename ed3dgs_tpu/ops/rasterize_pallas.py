@@ -73,20 +73,6 @@ def _cumsum_sublane(x):
     return _scan_sublane(x, jnp.add, 0.0)
 
 
-def _prod_all_sublane(x):
-    """Product over axis 0 of [C, P], broadcast back to every row.
-
-    log2(C) unmasked cyclic-roll doubling steps (pure multiplies) — cheaper
-    than a masked scan when only the total is needed. Requires C power of 2.
-    """
-    C = x.shape[0]
-    k = 1
-    while k < C:
-        x = x * pltpu.roll(x, k, axis=0)
-        k *= 2
-    return x
-
-
 def _forward_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, params_ref,
@@ -176,13 +162,17 @@ def _forward_kernel(
         om = 1.0 - a
 
         cum_raw = _cumprod_sublane(om)               # inclusive
+        # exclusive product by shift (a divide by om costs ~2x the 3 cheap ops)
+        cum_excl = jnp.where(rowid >= 1, pltpu.roll(cum_raw, 1, axis=0), 1.0)
         p_incl = t_carry * cum_raw
-        p_excl = p_incl / om
+        p_excl = t_carry * cum_excl
         include = passes & (p_incl >= T_STOP)
         w = jnp.where(include, a * p_excl, 0.0)
 
-        om_eff = jnp.where(include, om, 1.0)
-        new_t = (t_carry * _prod_all_sublane(om_eff)[0:1, :]).reshape(PIX)
+        # chunk-final transmittance = p_incl at the LAST include (p_incl is
+        # non-increasing since om <= 1), i.e. the masked min — cheaper than
+        # re-multiplying an effective-om product
+        new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
         state[0, :] = new_t
 
         dims = (((0,), (0,)), ((), ()))
@@ -217,8 +207,6 @@ def _forward_kernel(
             med[1, :] = jnp.where(hasv, mc0, med[1, :])
             med[2, :] = jnp.where(hasv, mc1, med[2, :])
             med[3, :] = jnp.where(hasv, mc2, med[3, :])
-        any_inc = jnp.max(jnp.where(include, 1.0, 0.0), axis=0)
-        state[1, :] = jnp.maximum(state[1, :], any_inc)
 
     jax.lax.fori_loop(0, n_chunks, body, jnp.float32(1.0))
 
@@ -227,8 +215,10 @@ def _forward_kernel(
     aw = acc_w[:]    # [PIX, F]
     awx = acc_wx[:]
     awy = acc_wy[:]
+    # every include contributes w >= ALPHA_MIN * T_STOP (positive in f32),
+    # so weight > 0 is exactly "any contributor" — no per-chunk tracking
     weight = aw[:, ONES_COL:ONES_COL + 1]                   # [PIX, 1]
-    any_c = state[1, :].reshape(PIX, 1) > 0.0
+    any_c = weight > 0.0
     inv_w = jnp.where(any_c, 1.0 / jnp.where(any_c, weight, 1.0), 0.0)
 
     u = (pxf_col - half_w) / focal_x
@@ -372,8 +362,8 @@ def _backward_kernel(
         cum_raw = _cumprod_sublane(om)
         p_incl = t_carry * cum_raw
         include = passes & (p_incl >= T_STOP)
-        om_eff = jnp.where(include, om, 1.0)
-        new_t = (t_carry * _prod_all_sublane(om_eff)[0:1, :]).reshape(PIX)
+        # masked-min form of the chunk-final transmittance (see forward)
+        new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
         tchk[c + 1] = new_t
         return c + 1, jnp.max(new_t)
 
@@ -491,8 +481,9 @@ def _backward_kernel(
         om = 1.0 - a
         t_carry = tchk[c].reshape(1, PIX)
         cum_raw = _cumprod_sublane(om)
+        cum_excl = jnp.where(rowid >= 1, pltpu.roll(cum_raw, 1, axis=0), 1.0)
         p_incl = t_carry * cum_raw
-        p_excl = p_incl / om
+        p_excl = t_carry * cum_excl
         include = passes & (p_incl >= T_STOP)
         w = jnp.where(include, a * p_excl, 0.0)
 

@@ -93,7 +93,9 @@ def rasterize_reference(
 
     one_minus = 1.0 - a
     p_incl = jnp.cumprod(one_minus, axis=1)
-    p_excl = p_incl / one_minus  # safe: a < 1 strictly (alpha <= 0.99)
+    # exclusive product by shift (matches the tiled backends bitwise)
+    p_excl = jnp.concatenate(
+        [jnp.ones_like(p_incl[:, :1]), p_incl[:, :-1]], axis=1)
     include = passes & (p_incl >= T_STOP)
     w = jnp.where(include, a * p_excl, 0.0)  # [HW, N]
 

@@ -97,7 +97,10 @@ def blend_tiles(payload_tiles: jnp.ndarray, lmask: jnp.ndarray,
         a = jnp.where(passes, alpha, 0.0)
         one_minus = 1.0 - a
         cp = jnp.cumprod(one_minus, axis=1)
-        p_excl = carry.transmittance[:, None, :] * (cp / one_minus)
+        # exclusive product by shift — bitwise-identical to the Pallas kernel
+        cp_excl = jnp.concatenate([jnp.ones_like(cp[:, :1]), cp[:, :-1]],
+                                  axis=1)
+        p_excl = carry.transmittance[:, None, :] * cp_excl
         p_incl = carry.transmittance[:, None, :] * cp
         include = passes & (p_incl >= T_STOP)
         w = jnp.where(include, a * p_excl, 0.0)  # [T, C, PIX]
