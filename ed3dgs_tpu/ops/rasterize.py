@@ -31,7 +31,7 @@ from .common import RasterOutputs, TILE
 from . import rasterize_pallas as rp
 from .rasterize_ref import rasterize_reference
 from .rasterize_tiles import rasterize_rows_tiles, rasterize_tiles
-from .segment_sum import segment_sum_rows
+from .segment_sum import SS_CHUNK, segment_sum_rows
 
 
 @dataclass(frozen=True)
@@ -134,38 +134,48 @@ def _packed_tiles_bwd(meta, res, cot):
 _packed_tiles.defvjp(_packed_tiles_fwd, _packed_tiles_bwd)
 
 
-# ---- payload expansion as a custom-vjp unit ------------------------------
-# Forward: a plain row gather (runs at DMA speed). Backward: XLA would emit a
-# row scatter-add at ~14ns/row ([1M,26] ~ 14ms); instead un-permute the
-# cotangent rows to pre-sort order, where each gaussian's pairs are
-# contiguous, and reduce with the deterministic CSR segment-sum kernel.
+# ---- payload expansion (gather + kernel-shape pad) as a custom-vjp unit --
+# Forward: a 26-lane row gather (gather cost scales with logical width:
+# [2M,32] 2.8ms vs [2M,128] 8.0ms on v5e) + ONE pad to the kernel's
+# [K+chunk, 128] shape. Backward: XLA would emit a row scatter-add at
+# ~14ns/row ([1M,26] ~ 14ms); instead un-permute the cotangent rows to
+# pre-sort order, where each gaussian's pairs are contiguous, and reduce
+# with the deterministic CSR segment-sum kernel. Folding the pad into this
+# unit keeps the cotangent at the kernel's own [K+chunk, 128] shape end to
+# end: no lane re-pad, no row re-pad (physical HBM tiles are 128-lane padded
+# either way, so the wide forms cost the same bytes).
 
-@jax.custom_vjp
-def _expand_pairs(payload_sorted, pair_gauss, perm, seg_starts, seg_ends):
-    return payload_sorted[pair_gauss]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _expand_pairs(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
+                  meta):
+    chunk, _ = meta
+    rows = payload_sorted[pair_gauss]
+    return jnp.pad(rows, ((0, chunk), (0, PAYLOAD_PAD - rows.shape[1])))
 
 
-def _expand_pairs_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends):
-    return payload_sorted[pair_gauss], (perm, seg_starts, seg_ends)
+def _expand_pairs_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
+                      meta):
+    out = _expand_pairs(payload_sorted, pair_gauss, perm, seg_starts,
+                        seg_ends, meta)
+    return out, (perm, seg_starts, seg_ends)
 
 
-def _expand_pairs_bwd(res, g):
+def _expand_pairs_bwd(meta, res, g):
+    chunk, F = meta  # F: static width of the unpadded payload rows
     perm, seg_starts, seg_ends = res
-    K, F = g.shape
-    inv = jnp.zeros((K,), jnp.int32).at[perm].set(
-        jnp.arange(K, dtype=jnp.int32))
-    # pad lanes to 32 (not 128) BEFORE the gather: row-gather cost scales
-    # with logical width (measured [2M,32] 2.8ms vs [2M,128] 8.0ms on v5e),
-    # and a 26-lane gather must not be left bare — XLA assigns narrow
-    # non-aligned gathers a column-major layout and runs element-at-a-time.
-    # The packed segment-sum consumes the 32-lane rows with no 128-pad pass.
-    # pad lanes BEFORE the gather, with a barrier so XLA cannot commute the
-    # pad back through it: a narrow row gather here gets assigned a
-    # column-major layout and runs element-at-a-time (measured 85 ms for
-    # [2M,32]{0,1} vs 20 ms for the row-major 128-lane row-DMA gather)
-    g128 = jax.lax.optimization_barrier(jnp.pad(g, ((0, 0), (0, (-F) % 128))))
-    g_pre = g128[inv]                    # rows back to pair-expansion order
-    d_payload = segment_sum_rows(g_pre, seg_starts, seg_ends,
+    K = perm.shape[0]
+    iota = jnp.arange(K, dtype=jnp.int32)
+    # inverse permutation by a second sort (~1.1ms) — a 1M-element scatter
+    # costs ~4.6ns/element (~4.9ms) for the same result
+    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
+    # append SS_CHUNK slack rows (all pointing at a zero pad row of g) so the
+    # segment-sum kernel's chunked DMA can over-read past the last segment
+    # end without a separate full-array row-pad pass. The barrier stops XLA
+    # from commuting layout changes through the gather (narrow column-major
+    # permute-gathers lower to per-channel loops, 45-85ms).
+    inv_ext = jnp.concatenate([inv, jnp.full((SS_CHUNK,), K, jnp.int32)])
+    g_pre = jax.lax.optimization_barrier(g)[inv_ext]   # pre-sort row order
+    d_payload = segment_sum_rows(g_pre, seg_starts, seg_ends, pad_rows=False,
                                  interpret=jax.default_backend() == "cpu")
     return d_payload[:, :F], None, None, None, None
 
@@ -191,12 +201,9 @@ def _pallas_forward_rows(payload, depth, valid, rect_min, rect_max,
                     grid_x=grid_x, grid_y=grid_y,
                     pair_capacity=cfg.pair_capacity)
     payload_sorted = payload[bins.order]
-    pair_payload = _expand_pairs(payload_sorted, bins.pair_gauss,
-                                 bins.pair_perm, bins.seg_starts,
-                                 bins.seg_ends)             # [K, F] pair order
-    pair_payload = jnp.pad(
-        pair_payload,
-        ((0, cfg.chunk), (0, PAYLOAD_PAD - pair_payload.shape[-1])))
+    pair_payload = _expand_pairs(
+        payload_sorted, bins.pair_gauss, bins.pair_perm, bins.seg_starts,
+        bins.seg_ends, (cfg.chunk, payload.shape[-1]))  # [K+chunk, PAD]
     num_tiles = grid_x * grid_y
     meta = (num_tiles, grid_x, cfg.width, cfg.height,
             cfg.focal_x, cfg.focal_y, cfg.chunk, cfg.interpret)

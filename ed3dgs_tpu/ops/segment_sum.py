@@ -25,6 +25,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_S = 128
+SS_CHUNK = 512   # default rows-per-DMA; pad_rows=False callers must carry
+#                  this much physical slack past every segment end
 
 
 def _kernel(starts_smem, ends_smem, rows_hbm, st_ref, en_ref, out_ref,
@@ -69,7 +71,8 @@ def _kernel(starts_smem, ends_smem, rows_hbm, st_ref, en_ref, out_ref,
 
 
 def segment_sum_rows(rows: jnp.ndarray, starts: jnp.ndarray,
-                     ends: jnp.ndarray, *, chunk: int = 512,
+                     ends: jnp.ndarray, *, chunk: int = SS_CHUNK,
+                     pad_rows: bool = True,
                      interpret: bool = False) -> jnp.ndarray:
     """out[s] = rows[starts[s]:ends[s]].sum(axis=0).
 
@@ -77,6 +80,10 @@ def segment_sum_rows(rows: jnp.ndarray, starts: jnp.ndarray,
       rows: [R, F] float32, segment members contiguous.
       starts/ends: [S] int32 CSR bounds — monotone: starts[s+1] >= starts[s],
         ends[s+1] >= ends[s], starts[s] <= ends[s] <= R.
+      pad_rows: the kernel's chunked DMA over-reads up to `chunk` rows past
+        the last segment end; by default a row-pad guarantees that. Pass
+        False when `rows` already carries >= `chunk` physical slack rows
+        beyond every `ends` value — saves a full-array copy.
     Returns [S, F] float32 segment sums (empty segments -> zeros).
 
     F must be a multiple of 128 (Mosaic DMA lane alignment); callers pad —
@@ -87,10 +94,12 @@ def segment_sum_rows(rows: jnp.ndarray, starts: jnp.ndarray,
     assert F % 128 == 0, f"segment_sum_rows needs 128-aligned lanes, got {F}"
     S = starts.shape[0]
     s_pad = (-S) % _BLOCK_S
+    r_log = R - chunk if not pad_rows else R
     starts_p = jnp.pad(starts.astype(jnp.int32), (0, s_pad),
-                       constant_values=R)
-    ends_p = jnp.pad(ends.astype(jnp.int32), (0, s_pad), constant_values=R)
-    rows_p = jnp.pad(rows, ((0, chunk), (0, 0)))
+                       constant_values=r_log)
+    ends_p = jnp.pad(ends.astype(jnp.int32), (0, s_pad),
+                     constant_values=r_log)
+    rows_p = jnp.pad(rows, ((0, chunk), (0, 0))) if pad_rows else rows
     sp = S + s_pad
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

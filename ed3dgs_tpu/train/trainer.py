@@ -84,6 +84,22 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     KDTree stall. The graph is fully prepared here (CSR sort, per-pair
     weight/coef pre-gathers, block-sparse schedule) so the per-step loss is
     the two fused kernels of ops/knn_loss.py."""
+    def _pin_row_major(graph: knn_loss.KnnGraph) -> knn_loss.KnnGraph:
+        # XLA gives the prepare computation's wc_sorted output a column-major
+        # {0,1} layout; the train step wants row-major for the pass-B kernel
+        # and inserts a [2M, 8] relayout copy EVERY step (profiled 1.85 ms).
+        # Pin it once here (cache refreshes only on the densify cadence).
+        if jax.default_backend() not in ("tpu", "axon"):
+            return graph
+        try:
+            from jax.experimental.layout import Format, Layout
+            fmt = Format(Layout((1, 0)),
+                         jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+            return graph._replace(
+                wc_sorted=jax.device_put(graph.wc_sorted, fmt))
+        except Exception:  # layout API unavailable: keep the per-step copy
+            return graph
+
     tongue = jnp.round(aux.tongue_class[:, 0]) > 0.5
     mask = aux.alive & ~tongue
     C = aux.alive.shape[0]
@@ -108,6 +124,9 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
                                              chunk=KNN_CHUNK)
     else:
         t_graph = graph
+    same = t_graph is graph
+    graph = _pin_row_major(graph)
+    t_graph = graph if same else _pin_row_major(t_graph)
     return KnnCache(graph, t_graph)
 
 
@@ -150,7 +169,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
                             iteration, off, reg_kick_on)
             keep = ("render", "radii", "visibility_filter", "expected_depth",
                     "median_depth", "normal", "expected_coord", "median_coord",
-                    "tongue_mask")
+                    "tongue_mask", "num_pairs")
             if setup.colmap_supervision:
                 keep = keep + ("deformed_gaussian_positions",)
             return {k: r[k] for k in keep}
@@ -259,6 +278,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             "ssim": ssim_val, "emb_loss": emb_loss, "tv_loss": tv_loss,
             "opacity_mean": opa_loss, "depth_normal": dn,
             "pcd_loss": pcd_loss,
+            "num_pairs": jnp.max(renders["num_pairs"]),
             **tongue_losses,
         }
         return loss, (metrics, radii, visible)
