@@ -184,6 +184,7 @@ def run_training(cfg, args):
     from ..models import gaussians as gm
     from ..ops.rasterize import RasterConfig
     from ..train.sampling import CameraSampler
+    from ..train.capacity import CapacityPolicy
     from ..train.trainer import (TrainSetup, init_train_state,
                                  make_densify_step, make_train_step,
                                  update_knn_cache)
@@ -341,48 +342,21 @@ def run_training(cfg, args):
         cam.release_image()
         return float(jnp.mean(L.psnr(out[None], jnp.asarray(img)[None])))
 
-    # ---- adaptive pair capacity -------------------------------------------
-    # Every binning/sort/gather/kernel stage scales with the static pair
-    # buffer size; the default config is a safe upper bound (oversized 2.6x
-    # measured 113 vs 85 ms/step). Track the true per-view pair demand the
-    # step reports, and re-jit onto a snug bucket when demand drifts.
-    CAP_BUCKET = 1 << 17
-    CAP_WINDOW = 500
-    cap_state = {"peak": 0, "low_windows": 0, "next_check": first_iter + 50}
-
-    def bucket_for(peak):
-        want = int(1.3 * peak)
-        return max(CAP_BUCKET, -(-want // CAP_BUCKET) * CAP_BUCKET)
+    # adaptive pair capacity (see train/capacity.py): re-jit the step onto a
+    # snug bucket as the reported pair demand drifts
+    cap_policy = CapacityPolicy(capacity=rcfg.pair_capacity)
+    cap_policy.start(first_iter)
 
     def maybe_resize_capacity(iteration, num_pairs):
         nonlocal rcfg, setup, step_fn
-        cap_state["peak"] = max(cap_state["peak"], num_pairs)
-        grow_now = num_pairs > rcfg.pair_capacity
-        if iteration < cap_state["next_check"] and not grow_now:
-            return
-        peak = cap_state["peak"]
-        want = bucket_for(peak)
-        resize = False
-        if grow_now or int(1.2 * peak) > rcfg.pair_capacity:
-            want = max(want, rcfg.pair_capacity)   # demand-driven: only grow
-            resize = want > rcfg.pair_capacity
-            cap_state["low_windows"] = 0
-        elif want < rcfg.pair_capacity:
-            cap_state["low_windows"] += 1
-            resize = cap_state["low_windows"] >= 3   # shrink conservatively
-        else:
-            cap_state["low_windows"] = 0
-        if resize:
+        want = cap_policy.observe(iteration, num_pairs)
+        if want is not None:
             if not args.quiet:
-                print(f"[{iteration}] pair demand {cap_state['peak']}: "
-                      f"pair_capacity {rcfg.pair_capacity} -> {want} "
-                      f"(re-jit)", flush=True)
+                print(f"[{iteration}] pair_capacity {rcfg.pair_capacity} -> "
+                      f"{want} (re-jit)", flush=True)
             rcfg = replace(rcfg, pair_capacity=want)
             setup = replace(setup, raster=rcfg)
             step_fn = make_train_step(setup, opt, optimizer)
-            cap_state["low_windows"] = 0
-        cap_state["peak"] = 0
-        cap_state["next_check"] = iteration + CAP_WINDOW
 
     pending = sample_batch(first_iter)
     t_iter = time.time()
