@@ -52,14 +52,27 @@ def strip_rows_for(cfg: RasterConfig, num_strips: int) -> int:
     return -(-grid_y // num_strips)
 
 
-def _pack_for_strips(rows, valid, ry0, ry1, g: int, strip_rows: int, cap: int):
-    """[Nl, F] rows -> [g, cap, F] send buffers + per-dest true counts [g]."""
+def _pack_for_strips(rows, depth, valid, ry0, ry1, g: int, strip_rows: int,
+                     cap: int):
+    """[Nl, F] rows -> [g, cap, F] send buffers + per-dest true counts [g].
+
+    Compaction is argsort-then-row-gather, NOT a scatter: row scatters cost
+    ~14ns/row on TPU (docs/performance.md) while an [N] sort + [cap, F] row
+    gather run at sort/DMA speed. The sort key is depth (invalid rows to the
+    back), so capacity overflow drops the DEEPEST splats — the same contract
+    as BinnedPairs.num_pairs — and receivers get depth-ordered rows.
+    """
+    n = rows.shape[0]
+    take = min(cap, n)
     bufs, counts = [], []
     for d in range(g):
         inter = valid & (ry0 < (d + 1) * strip_rows) & (ry1 > d * strip_rows)
-        pos = jnp.where(inter, jnp.cumsum(inter) - 1, cap)
-        buf = jnp.zeros((cap, rows.shape[1]), jnp.float32)
-        bufs.append(buf.at[pos].set(rows, mode="drop"))
+        key = jnp.where(inter, depth, jnp.inf)
+        order = jnp.argsort(key, stable=True)[:take]
+        buf = jnp.where(inter[order][:, None], rows[order], 0.0)
+        if cap > n:
+            buf = jnp.pad(buf, ((0, cap - n), (0, 0)))
+        bufs.append(buf)
         counts.append(jnp.sum(inter.astype(jnp.int32)))
     return jnp.stack(bufs), jnp.stack(counts)
 
@@ -75,7 +88,8 @@ def _strip_raster(payload, depth, valid, rect_min, rect_max, bg, *,
         [payload, depth[:, None], rect_min.astype(jnp.float32),
          rect_max.astype(jnp.float32)], axis=1)            # [Nl, F+5]
     send, counts = _pack_for_strips(
-        rows, valid, rect_min[:, 1], rect_max[:, 1], g, strip_rows, cap)
+        rows, depth, valid, rect_min[:, 1], rect_max[:, 1], g, strip_rows,
+        cap)
     # worst per-(src,dst) demand, replicated, for overflow reporting
     overflow = jax.lax.pmax(jnp.max(counts), axis)
 

@@ -124,13 +124,14 @@ def render(
         kernel_size=kernel_size, sh_degree=sh_degree, mask=mask,
         mean2d_offset=mean2d_offset,
     )
+    send_overflow = None
     if mesh is not None:
         # multi-chip single-camera scaling: Gaussian-sharded projection above,
         # explicit payload exchange + strip-sharded blending below
         from ..parallel.tile_sharded import tile_sharded_rasterize
-        out, _ = tile_sharded_rasterize(proj, aux.tongue_class[:, 0], bg,
-                                        raster_cfg, mesh,
-                                        send_capacity=send_capacity)
+        out, send_overflow = tile_sharded_rasterize(
+            proj, aux.tongue_class[:, 0], bg, raster_cfg, mesh,
+            send_capacity=send_capacity)
     else:
         out = rasterize(proj, aux.tongue_class[:, 0], bg, raster_cfg)
 
@@ -142,6 +143,10 @@ def render(
     return {
         "render": out.color,
         "num_pairs": num_pairs,
+        # tile-sharded path only: max per-(src,dst) splat demand — if it
+        # exceeds send_capacity, deepest splats were dropped (re-render with
+        # a larger capacity)
+        "send_overflow": send_overflow,
         "mask": out.alpha,
         "expected_coord": out.expected_coord,
         "median_coord": out.median_coord,

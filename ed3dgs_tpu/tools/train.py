@@ -316,17 +316,30 @@ def run_training(cfg, args):
     from ..render import render as render_fn
     from ..train import losses as L
 
-    @jax.jit
+    # keyed by the CURRENT raster config: the adaptive capacity policy
+    # re-jits the train step onto bigger pair buffers as the scene
+    # densifies, and eval renders must follow or they silently drop pairs
+    _eval_cache = {}
+
     def _eval_render(gparams, aux_, dparams, vm, pm, cp, t, it):
-        s = RenderSettings(vm, pm, cp, t, jnp.int32(0))
-        return render_fn(
-            gparams, aux_, dparams, hidden, s, rcfg,
-            jnp.full((3,), 1.0 if model.white_background else 0.0),
-            iteration=it, sh_degree=model.sh_degree,
-            kernel_size=model.kernel_size,
-            disable_filter3d=model.disable_filter3D,
-            num_down_emb_c=hidden.min_embeddings,
-            num_down_emb_f=hidden.min_embeddings)["render"]
+        fn = _eval_cache.get(rcfg)
+        if fn is None:
+            cfg = rcfg
+
+            @jax.jit
+            def fn(gparams, aux_, dparams, vm, pm, cp, t, it):
+                s = RenderSettings(vm, pm, cp, t, jnp.int32(0))
+                return render_fn(
+                    gparams, aux_, dparams, hidden, s, cfg,
+                    jnp.full((3,), 1.0 if model.white_background else 0.0),
+                    iteration=it, sh_degree=model.sh_degree,
+                    kernel_size=model.kernel_size,
+                    disable_filter3d=model.disable_filter3D,
+                    num_down_emb_c=hidden.min_embeddings,
+                    num_down_emb_f=hidden.min_embeddings)["render"]
+
+            _eval_cache[rcfg] = fn
+        return fn(gparams, aux_, dparams, vm, pm, cp, t, it)
 
     def eval_test_psnr(iteration):
         cam = test_cams[eval_rng.integers(len(test_cams))]

@@ -93,7 +93,9 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
             return graph
         try:
             from jax.experimental.layout import Format, Layout
-            fmt = Format(Layout((1, 0)),
+            # jax Layout is MAJOR_to_minor: row-major for [Ps, 8] is (0, 1)
+            # (XLA minor_to_major {1,0}); narrow arrays default to (1, 0)
+            fmt = Format(Layout((0, 1)),
                          jax.sharding.SingleDeviceSharding(jax.devices()[0]))
             return graph._replace(
                 wc_sorted=jax.device_put(graph.wc_sorted, fmt))
