@@ -21,8 +21,16 @@ point's exact position (forward.cu:1455-1487). The per-corner recurrence is
 data-dependent (a skipped splat leaves T unchanged), so pass 1 is an exact
 lax.scan over the tile list — fine for offline mesh tooling.
 
-Remaining deviation: the ill-conditioned eigen fallback for the ray
-covariance uses the pseudo-inverse (see core.projection.compute_invraycov).
+Degenerate-covariance branch: the world-covariance (pseudo-)inverse matches
+the reference exactly (outer product of the min eigenvector, forward.cu:
+151-155; core/sym3.py). For the *ray-space* inverse covariance the reference's
+ill-conditioned branch (forward.cu:201-224) assigns to a shadowed local
+`inv_cov_ray` — the value it actually writes out (forward.cu:229-235) is the
+outer, uninitialized matrix, i.e. undefined behavior. This build instead
+evaluates the same closed-form ray-space assembly it uses in the
+well-conditioned case (with the pseudo-inverted covariance flowing through),
+which is deterministic and consistent; the `well_conditioned` gating of the
+blend (forward.cu:1472-1480) is reproduced bit-for-bit either way.
 """
 
 from __future__ import annotations
