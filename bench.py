@@ -104,6 +104,94 @@ def time_fn(f, fargs, iters=20):
     return float(np.median(samples))
 
 
+def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
+                pair_capacity=1 << 20, backend="pallas", chunk=128):
+    """One full jitted train step at the NerSemble steady-state shape:
+    95k alive / 100k capacity, 802x550, SH3, deformation net 128x1, batch 1,
+    every loss active (L1, opacity-mean, embedding-KNN, temporal-TV,
+    depth-normal), Adam update, densification stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from ed3dgs_tpu.config.params import (DeformHiddenConfig,
+                                          OptimizationConfig)
+    from ed3dgs_tpu.data.cameras import look_at_camera
+    from ed3dgs_tpu.models import gaussians as gm
+    from ed3dgs_tpu.ops.rasterize import RasterConfig
+    from ed3dgs_tpu.train.trainer import (TrainSetup, init_train_state,
+                                          make_train_step, update_knn_cache)
+
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-1.0, 1.0, n_alive),
+                    rng.uniform(-0.7, 0.7, n_alive),
+                    rng.uniform(1.2, 3.5, n_alive)], 1).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n_alive, 3)).astype(np.float32)
+    params, aux = gm.create_from_points(pts, cols, capacity=cap)
+    hidden = DeformHiddenConfig(net_width=128, defor_depth=1)
+    opt_cfg = OptimizationConfig()
+    fov = math.radians(50.0)
+    cam = look_at_camera((0, 0, 0), (0, 0, 2.0), (0, -1, 0), fov,
+                         2 * math.atan(math.tan(fov / 2) * h / w),
+                         w, h).matrices()
+    rcfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x,
+                        focal_y=cam.focal_y, pair_capacity=pair_capacity,
+                        max_per_tile=2048, chunk=chunk, backend=backend)
+    state, optimizer = init_train_state(params, hidden, opt_cfg, 1.0)
+    setup = TrainSetup(raster=rcfg, hidden=hidden, batch_size=1,
+                       kernel_size=0.1, disable_filter3d=True,
+                       radegs_from_iter=0, coef_tv_temporal=1.0)
+    raw_step = make_train_step(setup, opt_cfg, optimizer, jit=False)
+    gt = rng.uniform(0, 1, (1, 3, h, w)).astype(np.float32)
+    batch = {
+        "gt_image": jnp.asarray(gt),
+        "viewmatrix": jnp.asarray(cam.world_view)[None],
+        "projmatrix": jnp.asarray(cam.full_proj)[None],
+        "campos": jnp.asarray(cam.campos)[None],
+        "time": jnp.asarray([0.4], jnp.float32),
+        "cam_no": jnp.asarray([0], jnp.int32),
+        "use_ssim": jnp.asarray(False),
+    }
+    knn_cache = update_knn_cache(params, aux)
+    return raw_step, state, aux, batch, knn_cache
+
+
+def time_train(raw_step, state, aux, batch, knn_cache, iters=10):
+    """Same chained-slope methodology as time_fn: carry the real TrainState
+    through a fori_loop of input-perturbed steps, difference two chain
+    lengths (defeats the tunnel's execution cache + dispatch overhead)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def run(state, aux, gt0):
+            def it(i, carry):
+                st, ax = carry
+                b = dict(batch)
+                b["gt_image"] = gt0 + 1e-6 * i.astype(jnp.float32)
+                st, ax, _m = raw_step(st, ax, b, knn_cache)
+                return (st, ax)
+            return jax.lax.fori_loop(0, n, it, (state, aux))
+        return run
+
+    lo, hi = max(2, iters // 4), iters
+    rlo, rhi = make(lo), make(hi)
+    gt0 = batch["gt_image"]
+    jax.block_until_ready(rlo(state, aux, gt0))
+    jax.block_until_ready(rhi(state, aux, gt0))
+    samples = []
+    for rep in range(3):
+        eps = np.float32(1e-5 * (rep + 1))
+        t0 = time.time()
+        jax.block_until_ready(rlo(state, aux, gt0 + eps))
+        tl = time.time() - t0
+        t0 = time.time()
+        jax.block_until_ready(rhi(state, aux, gt0 + 2 * eps))
+        th = time.time() - t0
+        samples.append((th - tl) / (hi - lo))
+    return float(np.median(samples))
+
+
 def main():
     forward, w, h = build()
     f_pal, fargs = forward("pallas")
@@ -115,11 +203,23 @@ def main():
         t_xla = float("nan")
     mpix_s = (w * h / t_pal) / 1e6
     vs = (t_xla / t_pal) if np.isfinite(t_xla) else 1.0
+
+    # the north-star training metric (BASELINE.json: "NerSemble frames/s
+    # train + Mpixels/s render per chip")
+    try:
+        t_train = time_train(*build_train())
+        train_ms = round(t_train * 1e3, 2)
+        train_fps = round(1.0 / t_train, 2)
+    except Exception:
+        train_ms = None
+        train_fps = None
     print(json.dumps({
         "metric": "render_throughput_pallas_802x550_100k",
         "value": round(mpix_s, 2),
         "unit": "Mpixels/s",
         "vs_baseline": round(vs, 3),
+        "train_step_ms_802x550_100k": train_ms,
+        "train_frames_per_s": train_fps,
     }))
 
 

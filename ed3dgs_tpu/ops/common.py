@@ -26,6 +26,12 @@ class RasterOutputs(NamedTuple):
     median_depth: jnp.ndarray   # [1, H, W] z-depth at the T=0.5 crossing splat
     normal: jnp.ndarray         # [3, H, W] normalized accumulated splat normal
     tongue: jnp.ndarray         # [1, H, W] blended tongue-class channel
+    # [] bool: some tile's true splat demand exceeded the backend's per-tile
+    # cap, i.e. the image silently dropped splats (the reference processes
+    # unbounded per-tile ranges, rasterizer_impl.cu:151-173 — fixed-capacity
+    # TPU tiles must surface truncation instead). None only on paths that
+    # cannot truncate.
+    tile_overflow: jnp.ndarray | None = None
 
 
 def safe_div(num: jnp.ndarray, den: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

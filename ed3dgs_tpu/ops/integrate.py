@@ -47,8 +47,10 @@ from .common import ALPHA_MAX, ALPHA_MIN, TILE
 
 class IntegrateOutputs(NamedTuple):
     alpha_integrated: jnp.ndarray   # [P] accumulated alpha along the point ray
+    color_integrated: jnp.ndarray   # [P, 3] blended RGB of the point's pixel
     point_coordinate: jnp.ndarray   # [P, 2] pixel coordinates
     point_depth: jnp.ndarray        # [P] camera distance
+    point_sdf: jnp.ndarray          # [P] median-gaussian depth - point depth
     point_valid: jnp.ndarray        # [P] in frustum and on screen
 
 
@@ -79,8 +81,12 @@ def integrate_points(
     max_per_tile: int = 1024,
     point_chunk: int = 1024,   # the [L, pc, 5] prefilter scan inputs scale with this
     chunk: int = 64,
+    bg: jnp.ndarray | None = None,
 ) -> IntegrateOutputs:
-    """proj must be built with compute_invraycov=True."""
+    """proj must be built with compute_invraycov=True.
+
+    `bg` composites into color_integrated (forward.cu:1527: C + T*bg per
+    channel); defaults to black like the reference's mesh tools."""
     assert proj.invraycov is not None, "project with compute_invraycov=True"
     bins = bin_gaussians(proj, width=width, height=height,
                          pair_capacity=pair_capacity)
@@ -102,6 +108,9 @@ def integrate_points(
     g_icr = proj.invraycov[order]
     g_well = proj.well_conditioned[order]
     g_con = proj.conic[order]
+    g_rgb = proj.rgb[order]
+    if bg is None:
+        bg = jnp.zeros(3, jnp.float32)
 
     L = max_per_tile
     slots = bins.tile_start[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -132,6 +141,7 @@ def integrate_points(
         icr = g_icr[ranks]
         well = g_well[ranks]
         con = g_con[ranks]                       # [pc, L, 3]
+        rgb = g_rgb[ranks]                       # [pc, L, 3]
         pxy = point_xy[idx_c][:, None, :]
         pd = point_depth[idx_c][:, None]
 
@@ -147,16 +157,42 @@ def integrate_points(
         calpha = jnp.minimum(ALPHA_MAX, op[..., None] * jnp.exp(cpow))
         cpass = (m[..., None] & (cpow <= 0.0) & (calpha >= ALPHA_MIN))
 
-        def corner_step(T, inp):
-            a_l, p_l = inp                               # [pc, 5]
+        # the center-corner (k=0) recurrence also runs the reference's full
+        # pixel blend (forward.cu:1264-1283): RGB accumulation C += rgb*a*T
+        # and the median ("mid") gaussian — the LAST center-passing splat with
+        # pre-update T > 0.5 — whose depth plane defines point_sdf
+        # (forward.cu:1530-1535)
+        def corner_step(carry, inp):
+            T, C, mid_ts, mid_rp, mid_xy = carry
+            a_l, p_l, rgb_l, ts_l, rp_l, xy_l = inp      # [pc,5] ... [pc,2]
             test = T * (1.0 - a_l)
             upd = p_l & (test >= 1e-4)
-            return jnp.where(upd, test, T), jnp.any(upd, axis=-1)
+            upd0 = upd[:, 0]
+            T0 = T[:, 0]
+            C = C + jnp.where(upd0[:, None],
+                              rgb_l * (a_l[:, 0] * T0)[:, None], 0.0)
+            take_mid = upd0 & (T0 > 0.5)
+            mid_ts = jnp.where(take_mid, ts_l, mid_ts)
+            mid_rp = jnp.where(take_mid[:, None], rp_l, mid_rp)
+            mid_xy = jnp.where(take_mid[:, None], xy_l, mid_xy)
+            carry = (jnp.where(upd, test, T), C, mid_ts, mid_rp, mid_xy)
+            return carry, jnp.any(upd, axis=-1)
 
-        _, used_l = jax.lax.scan(
-            corner_step, jnp.ones((point_chunk, 5), jnp.float32),
-            (jnp.moveaxis(calpha, 1, 0), jnp.moveaxis(cpass, 1, 0)))
+        carry0 = (jnp.ones((point_chunk, 5), jnp.float32),
+                  jnp.zeros((point_chunk, 3), jnp.float32),
+                  jnp.zeros((point_chunk,), jnp.float32),
+                  jnp.zeros((point_chunk, 2), jnp.float32),
+                  jnp.zeros((point_chunk, 2), jnp.float32))
+        (T5, C_rgb, mid_ts, mid_rp, mid_xy), used_l = jax.lax.scan(
+            corner_step, carry0,
+            (jnp.moveaxis(calpha, 1, 0), jnp.moveaxis(cpass, 1, 0),
+             jnp.moveaxis(rgb, 1, 0), jnp.moveaxis(ts, 1, 0),
+             jnp.moveaxis(rp, 1, 0), jnp.moveaxis(xy, 1, 0)))
         used = jnp.moveaxis(used_l, 0, 1)                # [pc, L]
+        color = C_rgb + T5[:, 0:1] * bg[None, :]         # [pc, 3]
+        d_mid = mid_xy - point_xy[idx_c]                 # exact point position
+        sdf = (mid_ts + mid_rp[:, 0] * d_mid[:, 0]
+               + mid_rp[:, 1] * d_mid[:, 1]) - point_depth[idx_c]
 
         # ---- pass 2: 3D ray-space blend of used splats (:1455-1487) ----
         d = xy - pxy                              # [pc, L, 2]
@@ -174,13 +210,20 @@ def integrate_points(
         a = jnp.where(passes, alpha, 0.0)
         om = 1.0 - a
         p_excl = jnp.cumprod(om, axis=1) / om
-        return jnp.sum(a * p_excl, axis=1)        # [pc]
+        return jnp.sum(a * p_excl, axis=1), color, sdf   # [pc], [pc,3], [pc]
 
-    alphas = jax.lax.map(chunk_fn,
-                         jnp.arange(n_chunks, dtype=jnp.int32) * point_chunk)
+    alphas, colors, sdfs = jax.lax.map(
+        chunk_fn, jnp.arange(n_chunks, dtype=jnp.int32) * point_chunk)
     alpha_integrated = alphas.reshape(-1)[:P]
     alpha_integrated = jnp.where(point_valid, alpha_integrated, 0.0)
-    return IntegrateOutputs(alpha_integrated, point_xy, point_depth, point_valid)
+    color_integrated = colors.reshape(-1, 3)[:P]
+    color_integrated = jnp.where(point_valid[:, None], color_integrated, 0.0)
+    # the reference writes sdf only for projected points with positive depth
+    # (forward.cu:1530-1535); others keep the buffer's initial value 0
+    point_sdf = sdfs.reshape(-1)[:P]
+    point_sdf = jnp.where(point_valid & (point_depth > 0), point_sdf, 0.0)
+    return IntegrateOutputs(alpha_integrated, color_integrated, point_xy,
+                            point_depth, point_sdf, point_valid)
 
 
 def sample_mask_bilinear(mask: jnp.ndarray, point_xy: jnp.ndarray) -> jnp.ndarray:

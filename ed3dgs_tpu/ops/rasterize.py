@@ -6,10 +6,11 @@ semantics (tested against each other):
 
   * "reference" — O(N*pixels) oracle, tiny scenes/tests only.
   * "xla"       — tiled, pure XLA, runs everywhere.
-  * "pallas"    — tiled Pallas TPU kernel forward; backward is currently the
-                  autodiff of the XLA backend via custom_vjp (exact, since the
-                  two forwards agree), until the dedicated backward kernel
-                  lands.
+  * "pallas"    — tiled Pallas TPU kernels, dedicated forward AND backward
+                  (rasterize_pallas.py: 2-pass checkpointed backward with
+                  deterministic segment-sum gradient accumulation), wired
+                  through custom_vjp; grads match the oracle's autodiff in
+                  tests/test_rasterize_pallas.py.
   * "auto"      — pallas on TPU, xla otherwise.
 
 This module replaces the reference's torch.autograd.Function wrapper
@@ -213,7 +214,10 @@ def _pallas_forward_rows(payload, depth, valid, rect_min, rect_max,
                          jnp.asarray(hh, jnp.float32)])
     packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count,
                            half_wh, meta)
-    return _unpack_pallas(packed, bg, cfg, bins.grid)
+    out = _unpack_pallas(packed, bg, cfg, bins.grid)
+    # the kernel caps each tile at chunk*512 pairs (fixed per-tile VMEM
+    # budget); surface truncation instead of rendering silently wrong
+    return out._replace(tile_overflow=jnp.max(bins.tile_count) > cfg.chunk * 512)
 
 
 def rasterize_rows(payload, depth, valid, rect_min, rect_max, tiles_touched,
@@ -253,9 +257,11 @@ def rasterize(proj: ProjectedGaussians, tongue: jnp.ndarray, bg: jnp.ndarray,
               cfg: RasterConfig) -> RasterOutputs:
     backend = _resolve_backend(cfg.backend)
     if backend == "reference":
-        return rasterize_reference(proj, tongue, bg, width=cfg.width,
-                                   height=cfg.height, focal_x=cfg.focal_x,
-                                   focal_y=cfg.focal_y)
+        out = rasterize_reference(proj, tongue, bg, width=cfg.width,
+                                  height=cfg.height, focal_x=cfg.focal_x,
+                                  focal_y=cfg.focal_y)
+        # the O(N*pixels) oracle blends every splat — it cannot truncate
+        return out._replace(tile_overflow=jnp.asarray(False))
     if backend == "xla":
         return _xla_forward(proj, tongue, bg, cfg)
     if backend == "pallas":

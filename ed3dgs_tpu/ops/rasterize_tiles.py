@@ -183,8 +183,9 @@ def rasterize_tiles(
     tiles_payload, lmask = gather_tile_lists(bins, payload_sorted, max_per_tile)
     px, py = _tile_pixel_coords(grid_x, grid_y)
     out = blend_tiles(tiles_payload, lmask, px, py, chunk=chunk)
-    return finalize_outputs(out, bg, width=width, height=height,
-                            focal_x=focal_x, focal_y=focal_y, grid=(grid_x, grid_y))
+    res = finalize_outputs(out, bg, width=width, height=height,
+                           focal_x=focal_x, focal_y=focal_y, grid=(grid_x, grid_y))
+    return res._replace(tile_overflow=jnp.max(bins.tile_count) > max_per_tile)
 
 
 def rasterize_rows_tiles(
@@ -210,9 +211,10 @@ def rasterize_rows_tiles(
     tiles_payload, lmask = gather_tile_lists(bins, payload_sorted, max_per_tile)
     px, py = _tile_pixel_coords(grid_x, grid_y)
     out = blend_tiles(tiles_payload, lmask, px, py, chunk=chunk)
-    return finalize_outputs(out, bg, width=width, height=height,
-                            focal_x=focal_x, focal_y=focal_y,
-                            grid=(grid_x, grid_y), half_w=half_w, half_h=half_h)
+    res = finalize_outputs(out, bg, width=width, height=height,
+                           focal_x=focal_x, focal_y=focal_y,
+                           grid=(grid_x, grid_y), half_w=half_w, half_h=half_h)
+    return res._replace(tile_overflow=jnp.max(bins.tile_count) > max_per_tile)
 
 
 def finalize_outputs(carry: _Carry, bg: jnp.ndarray, *, width: int, height: int,

@@ -106,7 +106,7 @@ def segment_sum_rows(rows: jnp.ndarray, starts: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(sp // _BLOCK_S,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
@@ -212,7 +212,7 @@ def segment_sum_rows_packed(rows: jnp.ndarray, starts: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(sp // _BLOCK_S,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BLOCK_S, 1), lambda b, *_: (b, 0),

@@ -59,3 +59,48 @@ def host_camera_shard(cameras: List, round_robin: bool = True) -> List:
         return list(cameras)
     return list(cameras[i::n]) if round_robin else list(
         cameras[i * len(cameras) // n:(i + 1) * len(cameras) // n])
+
+
+def parse_mesh_spec(spec: Optional[str]):
+    """Parse the trainer's --mesh flag into a Mesh (None -> no mesh).
+
+    Accepted forms:
+      "auto"            — "data" spans hosts, "gauss" spans local chips
+      "data=2,gauss=4"  — explicit axis sizes (a size of 0 means "the rest")
+    """
+    if not spec:
+        return None
+    if spec == "auto":
+        return global_mesh()
+    sizes = {"data": 1, "gauss": 1}
+    for item in spec.split(","):
+        k, _, v = item.partition("=")
+        k = k.strip()
+        if k not in sizes:
+            raise ValueError(f"unknown mesh axis {k!r} (want data/gauss)")
+        sizes[k] = int(v)
+    n = len(jax.devices())
+    if sizes["data"] == 0:
+        sizes["data"] = n // max(sizes["gauss"], 1)
+    if sizes["gauss"] == 0:
+        sizes["gauss"] = n // max(sizes["data"], 1)
+    return make_mesh(data=sizes["data"], gauss=sizes["gauss"])
+
+
+def host_batch_slice(n_items: int) -> slice:
+    """This host's contiguous slice of a global batch axis of length n_items
+    (matches the device order of global_mesh's "data" axis: process-major)."""
+    i, n = jax.process_index(), jax.process_count()
+    per = n_items // n
+    return slice(i * per, (i + 1) * per)
+
+
+def to_host(tree):
+    """Fetch a (possibly sharded, possibly multi-host) pytree to host numpy.
+
+    Single-process: plain device_get. Multi-process: allgather so every host
+    holds the full value (checkpoint writes are then done by process 0)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        tree = multihost_utils.process_allgather(tree, tiled=True)
+    return jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)

@@ -124,7 +124,9 @@ def _strip_raster(payload, depth, valid, rect_min, rect_max, bg, *,
         r_payload, r_depth, lvalid, lrect_min, lrect_max, tiles, bg,
         strip_cfg, grid_x=grid_x, grid_y=strip_rows,
         half_w=cfg.width / 2.0, half_h=cfg.height / 2.0 - y0p)
-    return out, overflow
+    # per-tile truncation flag: scalar per strip -> replicated any()
+    tile_ovf = jax.lax.pmax(out.tile_overflow.astype(jnp.int32), axis)
+    return out._replace(tile_overflow=None), overflow, tile_ovf
 
 
 def tile_sharded_rasterize(
@@ -162,18 +164,19 @@ def tile_sharded_rasterize(
         rect_min = jnp.pad(rect_min, p + ((0, 0),))
         rect_max = jnp.pad(rect_max, p + ((0, 0),))
 
-    out_strip = jax.tree.map(lambda _: P(None, axis, None),
-                             RasterOutputs(*([0] * len(RasterOutputs._fields))))
+    out_strip = jax.tree.map(
+        lambda _: P(None, axis, None),
+        RasterOutputs(*([0] * (len(RasterOutputs._fields) - 1)), None))
     fn = jax.shard_map(
         functools.partial(_strip_raster, cfg=cfg, axis=axis, g=g,
                           grid_x=grid_x, strip_rows=strip_rows,
                           cap=send_capacity),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(out_strip, P()),
+        out_specs=(out_strip, P(), P()),
         check_vma=False,
     )
-    out, overflow = fn(payload, depth, valid, rect_min, rect_max, bg)
+    out, overflow, tile_ovf = fn(payload, depth, valid, rect_min, rect_max, bg)
     # crop the tile padding of the bottom strip(s)
     out = jax.tree.map(lambda x: x[:, :cfg.height, :], out)
-    return out, overflow
+    return out._replace(tile_overflow=tile_ovf > 0), overflow

@@ -147,6 +147,10 @@ def render(
         # exceeds send_capacity, deepest splats were dropped (re-render with
         # a larger capacity)
         "send_overflow": send_overflow,
+        # [] bool: a tile exceeded the backend's per-tile splat cap and was
+        # truncated (raise max_per_tile for the xla backend / chunk for
+        # pallas); reported by every backend including tile-sharded strips
+        "tile_overflow": out.tile_overflow,
         "mask": out.alpha,
         "expected_coord": out.expected_coord,
         "median_coord": out.median_coord,

@@ -34,6 +34,12 @@ def parse_args(argv=None):
                    help="Gaussian capacity (default: max_number_gaussians)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--backend", default=None, choices=["auto", "xla", "pallas"])
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="train on a multi-chip jax mesh: 'auto' (data axis "
+                        "spans hosts, gauss axis spans local chips) or "
+                        "'data=2,gauss=4' (0 = the rest). Multi-host runs "
+                        "also need JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID in the environment.")
     p.add_argument("--save_iterations", type=int, nargs="+", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="+", default=[])
     p.add_argument("--start_checkpoint", default=None,
@@ -192,10 +198,39 @@ def run_training(cfg, args):
     t_start = time.time()
     model, opt, hidden, pipe = cfg.model, cfg.opt, cfg.hidden, cfg.pipe
     capacity = args.capacity or opt.max_number_gaussians
+
+    # --- multi-chip mesh (SURVEY.md §2.11; greenfield — the reference is
+    # single-GPU). "data" = camera batch parallelism (spans hosts over DCN),
+    # "gauss" = Gaussian-axis sharding (spans chips over ICI).
+    mesh = None
+    if args.mesh:
+        from ..parallel.multihost import (host_batch_slice,
+                                          initialize_multihost,
+                                          parse_mesh_spec, to_host)
+        from ..parallel.sharded import (aux_shardings,
+                                        make_sharded_train_step, shard_batch,
+                                        shard_knn_cache, shard_train_state)
+        initialize_multihost()
+        mesh = parse_mesh_spec(args.mesh)
+        data_ax = mesh.shape["data"]
+        gauss_ax = mesh.shape["gauss"]
+        if opt.batch_size % data_ax != 0:
+            raise SystemExit(f"batch_size {opt.batch_size} must be divisible "
+                             f"by the mesh data axis ({data_ax})")
+        if capacity % gauss_ax != 0:  # leading-axis sharding needs even splits
+            capacity += gauss_ax - capacity % gauss_ax
+            print(f"capacity rounded up to {capacity} "
+                  f"(multiple of gauss axis {gauss_ax})", flush=True)
+    is_proc0 = True
+    if mesh is not None:
+        import jax as _jax
+        is_proc0 = _jax.process_index() == 0
+
     os.makedirs(model.model_path, exist_ok=True)
-    with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
-        f.write(repr({"model": vars(model), "opt": vars(opt),
-                      "hidden": vars(hidden)}))
+    if is_proc0:
+        with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
+            f.write(repr({"model": vars(model), "opt": vars(opt),
+                          "hidden": vars(hidden)}))
 
     scene = Scene(model, hidden, capacity=capacity, duration=args.duration,
                   shuffle=False, seed=args.seed)
@@ -220,7 +255,9 @@ def run_training(cfg, args):
         radegs_from_iter=opt.radegs_regularization_from_iter,
         num_down_emb=hidden.min_embeddings, sh_degree=model.sh_degree,
         colmap_supervision=model.colmap_supervision_enabled,
-        deform_from_iter=hidden.deform_from_iter)
+        deform_from_iter=hidden.deform_from_iter,
+        # vmap keeps B a real batch axis for the "data" mesh partition
+        batch_mode="vmap" if mesh is not None else "scan")
 
     state, optimizer = init_train_state(scene.params, hidden, opt,
                                         scene.cameras_extent, seed=args.seed)
@@ -230,7 +267,27 @@ def run_training(cfg, args):
         state, aux, first_iter = load_checkpoint(args.start_checkpoint, state, aux)
         print(f"resumed from {args.start_checkpoint} at iteration {first_iter}",
               flush=True)
-    step_fn = make_train_step(setup, opt, optimizer)
+    if mesh is not None:
+        state, aux = shard_train_state(mesh, state, aux)
+
+    def make_step(setup):
+        """jitted step; in mesh mode the pjit wrapper with explicit in/out
+        shardings is built lazily on the first batch (it needs the batch
+        structure, which is fixed for the whole run)."""
+        if mesh is None:
+            return make_train_step(setup, opt, optimizer)
+        raw = make_train_step(setup, opt, optimizer, jit=False)
+        cell = {}
+
+        def step(state, aux, batch, knn_cache):
+            if "fn" not in cell:
+                cell["fn"] = make_sharded_train_step(raw, mesh, state, aux,
+                                                     batch, knn_cache)
+            return cell["fn"](state, aux, batch, knn_cache)
+
+        return step
+
+    step_fn = make_step(setup)
     densify_fn = make_densify_step(opt, opt.percent_dense, scene.cameras_extent)
 
     # camera metadata for sampling / 3D filter
@@ -249,10 +306,14 @@ def run_training(cfg, args):
 
     def refresh_filter(params, aux):
         if model.disable_filter3D:
-            return aux._replace(filter_3d=jnp.zeros_like(aux.filter_3d))
-        f = gm.compute_3d_filter(params.xyz, aux.alive, view_mats,
-                                 focals_x, focals_y, widths, heights)
-        return aux._replace(filter_3d=f)
+            aux = aux._replace(filter_3d=jnp.zeros_like(aux.filter_3d))
+        else:
+            f = gm.compute_3d_filter(params.xyz, aux.alive, view_mats,
+                                     focals_x, focals_y, widths, heights)
+            aux = aux._replace(filter_3d=f)
+        if mesh is not None:  # keep every aux leaf on its canonical sharding
+            aux = jax.device_put(aux, aux_shardings(mesh, aux))
+        return aux
 
     aux = refresh_filter(state.params["gaussians"], aux)
 
@@ -268,8 +329,12 @@ def run_training(cfg, args):
         preference_probability=model.frame_preference_probability,
         seed=args.seed)
 
-    knn_cache = update_knn_cache(state.params["gaussians"], aux,
+    def refresh_knn(params, aux):
+        cache = update_knn_cache(params, aux,
                                  tongue_enabled=model.tongue_mask_loss_enabled)
+        return shard_knn_cache(mesh, cache) if mesh is not None else cache
+
+    knn_cache = refresh_knn(state.params["gaussians"], aux)
     key = jax.random.PRNGKey(args.seed)
 
     final_iter = opt.iterations
@@ -292,19 +357,46 @@ def run_training(cfg, args):
     stager = Stager(workers=2, load_tongue=model.tongue_mask_loss_enabled) \
         if Stager.available() else None
 
+    def local_slice(cams):
+        """The cameras THIS host must decode. Single-host: all of them. Multi-
+        host: the contiguous slice matching this process's "data" shard (the
+        sampler is identically seeded on every host, so the global batch is
+        consistent without communication)."""
+        if mesh is not None and jax.process_count() > 1:
+            return cams[host_batch_slice(len(cams))]
+        return cams
+
     def sample_batch(iteration):
         cams_idx, frames, use_ssim = sampler.sample(iteration, final_iter)
         cams = [pick(c, f) for c, f in zip(cams_idx, frames)]
         if stager is not None:
-            for c in cams:
+            for c in local_slice(cams):
                 stager.submit(c)
         return cams, use_ssim
 
     pcd_loader = (PcdSupervisionLoader(model, seed=args.seed)
                   if model.colmap_supervision_enabled else None)
+    if pcd_loader is not None and mesh is not None and jax.process_count() > 1:
+        raise SystemExit("colmap_supervision is not supported with multi-host "
+                         "meshes yet (per-frame GT cloud staging is "
+                         "host-local)")
+
+    def stage(cams, use_ssim):
+        b = stage_batch(local_slice(cams), maxtime, use_ssim,
+                        model.tongue_mask_loss_enabled, pcd_loader)
+        if mesh is None:
+            return b
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            from ..parallel.sharded import batch_shardings
+            shs = batch_shardings(mesh, b)
+            return {k: multihost_utils.host_local_array_to_global_array(
+                        np.asarray(v), mesh, shs[k].spec)
+                    for k, v in b.items()}
+        return shard_batch(mesh, b)
 
     tb = None
-    if not args.no_tensorboard:
+    if not args.no_tensorboard and is_proc0:
         from ..utils.tb_writer import SummaryWriter
         tb = SummaryWriter(model.model_path)
 
@@ -369,7 +461,7 @@ def run_training(cfg, args):
                       f"{want} (re-jit)", flush=True)
             rcfg = replace(rcfg, pair_capacity=want)
             setup = replace(setup, raster=rcfg)
-            step_fn = make_train_step(setup, opt, optimizer)
+            step_fn = make_step(setup)
 
     pending = sample_batch(first_iter)
     t_iter = time.time()
@@ -378,14 +470,13 @@ def run_training(cfg, args):
     for iteration in range(first_iter, final_iter + 1):
         cams, use_ssim = pending
         if stager is not None:
-            for c in cams:
+            for c in local_slice(cams):
                 stager.fetch_into(c)
         if iteration < final_iter:
             pending = sample_batch(iteration + 1)
         if iteration == prof_start:
             jax.profiler.start_trace(os.path.join(model.model_path, "profile"))
-        batch = stage_batch(cams, maxtime, use_ssim,
-                            model.tongue_mask_loss_enabled, pcd_loader)
+        batch = stage(cams, use_ssim)
         state, aux, metrics = step_fn(state, aux, batch, knn_cache)
         if iteration == prof_stop:
             jax.block_until_ready(metrics["loss"])
@@ -393,11 +484,13 @@ def run_training(cfg, args):
             print(f"profiler trace written to "
                   f"{os.path.join(model.model_path, 'profile')}", flush=True)
 
-        l1_items = np.asarray(metrics["l1_items"])
+        l1_items = np.asarray(jax.device_get(metrics["l1_items"])
+                              if mesh is None
+                              else to_host(metrics["l1_items"]))
         sampler.record_loss([cam_index.get(c.cam_no, 0) for c in cams],
                             [c.frame_no for c in cams], l1_items)
         maybe_resize_capacity(iteration, int(metrics["num_pairs"]))
-        for c in cams:
+        for c in local_slice(cams):
             c.release_image()
 
         if iteration < opt.densify_until_iter and iteration > opt.densify_from_iter \
@@ -408,9 +501,10 @@ def run_training(cfg, args):
                    / opt.densify_until_iter)
             key, sub = jax.random.split(key)
             state, aux, n_c, n_s = densify_fn(state, aux, sub, thr)
+            if mesh is not None:  # densify_fn is un-annotated: re-pin shardings
+                state, aux = shard_train_state(mesh, state, aux)
             aux = refresh_filter(state.params["gaussians"], aux)
-            knn_cache = update_knn_cache(state.params["gaussians"], aux,
-                                         tongue_enabled=model.tongue_mask_loss_enabled)
+            knn_cache = refresh_knn(state.params["gaussians"], aux)
         elif (iteration % 100 == 0 and iteration > opt.densify_until_iter
                 and not model.disable_filter3D and iteration < final_iter - 100):
             aux = refresh_filter(state.params["gaussians"], aux)
@@ -442,13 +536,19 @@ def run_training(cfg, args):
         if iteration in save_iters:
             elapsed = time.time() - t_start
             n_pts = int(jnp.sum(aux.alive))
-            with open(log_path, "a") as f:
-                f.write(f"Iteration {iteration}: {elapsed} seconds "
-                        f"points: {n_pts}\n")
-            scene.save(iteration, state.params["gaussians"], aux,
-                       state.params["deform"])
+            if is_proc0:
+                with open(log_path, "a") as f:
+                    f.write(f"Iteration {iteration}: {elapsed} seconds "
+                            f"points: {n_pts}\n")
+            save_state = (state, aux) if mesh is None else to_host((state, aux))
+            if is_proc0:
+                scene.save(iteration, save_state[0].params["gaussians"],
+                           save_state[1], save_state[0].params["deform"])
         if iteration in ckpt_iters:
-            save_checkpoint(model.model_path, iteration, state, aux)
+            save_state = (state, aux) if mesh is None else to_host((state, aux))
+            if is_proc0:
+                save_checkpoint(model.model_path, iteration,
+                                save_state[0], save_state[1])
 
     return scene, state, aux
 

@@ -171,7 +171,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
                             iteration, off, reg_kick_on)
             keep = ("render", "radii", "visibility_filter", "expected_depth",
                     "median_depth", "normal", "expected_coord", "median_coord",
-                    "tongue_mask", "num_pairs")
+                    "tongue_mask", "num_pairs", "tile_overflow")
             if setup.colmap_supervision:
                 keep = keep + ("deformed_gaussian_positions",)
             return {k: r[k] for k in keep}
@@ -281,6 +281,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             "opacity_mean": opa_loss, "depth_normal": dn,
             "pcd_loss": pcd_loss,
             "num_pairs": jnp.max(renders["num_pairs"]),
+            "tile_overflow": jnp.any(renders["tile_overflow"]),
             **tongue_losses,
         }
         return loss, (metrics, radii, visible)
