@@ -155,38 +155,37 @@ def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
     return raw_step, state, aux, batch, knn_cache
 
 
-def time_train(raw_step, state, aux, batch, knn_cache, iters=10):
+def time_train(raw_step, state, aux, batch, knn_cache, iters=12):
     """Same chained-slope methodology as time_fn: carry the real TrainState
     through a fori_loop of input-perturbed steps, difference two chain
-    lengths (defeats the tunnel's execution cache + dispatch overhead)."""
+    lengths (defeats the tunnel's execution cache + dispatch overhead).
+    The trip count is a TRACED argument so both chain lengths share one
+    compile of the (large) train-step program."""
     import jax
     import jax.numpy as jnp
 
-    def make(n):
-        @jax.jit
-        def run(state, aux, gt0):
-            def it(i, carry):
-                st, ax = carry
-                b = dict(batch)
-                b["gt_image"] = gt0 + 1e-6 * i.astype(jnp.float32)
-                st, ax, _m = raw_step(st, ax, b, knn_cache)
-                return (st, ax)
-            return jax.lax.fori_loop(0, n, it, (state, aux))
-        return run
+    @jax.jit
+    def run(state, aux, gt0, n):
+        def it(i, carry):
+            st, ax = carry
+            b = dict(batch)
+            b["gt_image"] = gt0 + 1e-6 * i.astype(jnp.float32)
+            st, ax, _m = raw_step(st, ax, b, knn_cache)
+            return (st, ax)
+        return jax.lax.fori_loop(0, n, it, (state, aux))
 
     lo, hi = max(2, iters // 4), iters
-    rlo, rhi = make(lo), make(hi)
     gt0 = batch["gt_image"]
-    jax.block_until_ready(rlo(state, aux, gt0))
-    jax.block_until_ready(rhi(state, aux, gt0))
+    jax.block_until_ready(run(state, aux, gt0, lo))
+    jax.block_until_ready(run(state, aux, gt0, hi))
     samples = []
     for rep in range(3):
         eps = np.float32(1e-5 * (rep + 1))
         t0 = time.time()
-        jax.block_until_ready(rlo(state, aux, gt0 + eps))
+        jax.block_until_ready(run(state, aux, gt0 + eps, lo))
         tl = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(rhi(state, aux, gt0 + 2 * eps))
+        jax.block_until_ready(run(state, aux, gt0 + 2 * eps, hi))
         th = time.time() - t0
         samples.append((th - tl) / (hi - lo))
     return float(np.median(samples))

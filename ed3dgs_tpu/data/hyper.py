@@ -6,10 +6,16 @@ dataset.json plus per-image camera JSONs; vrig scenes use the explicit
 train/val id lists, otherwise the every-4th interleaved split. Images come
 from rgb/<1/ratio>x/, covisible masks (test split) from covisible/2x/val/.
 
-Note: the Nerfies camera model includes radial/tangential distortion
-(scene/utils.py:28-96); like the reference's rasterization path, rendering
-treats cameras as (principal-point-shifted) pinholes — distortion parameters
-are parsed and carried but not applied.
+Distortion: the Nerfies camera model includes radial/tangential distortion
+(scene/utils.py:28-96). PROOF THE REFERENCE NEVER APPLIES IT AT RUNTIME: the
+only reads of the parsed camera are scene/hyper_loader.py:159-164, :187-193
+and :226-231, which touch exactly orientation/position/focal_length/
+principal_point; no reference code path calls Camera.pixel_to_local_rays /
+pixels_to_rays / project (grep for those names finds only their definitions
+in scene/utils.py), and the CUDA rasterizer is pinhole. This loader therefore
+also renders pinhole. The distortion component itself (Newton undistort,
+distortion-aware projection/rays, image undistortion for dataset prep) lives
+in data/nerfies_camera.py.
 """
 
 from __future__ import annotations

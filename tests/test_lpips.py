@@ -117,3 +117,61 @@ def test_convert_torch_checkpoints(tmp_path):
     want = _torch_lpips(params, x, y, "alex")
     got = np.asarray(LPIPS(params, "alex")(x, y))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def _fake_torch_checkpoints(tmp_path, net="alex"):
+    spec, taps, channels = _SPECS[net]
+    rng = np.random.default_rng(9)
+    bstate, hstate = {}, {}
+    for idx0, layer in enumerate(spec):
+        if layer[0] != "conv":
+            continue
+        _, cin, cout, k, s, p = layer
+        bstate[f"features.{idx0}.weight"] = torch.tensor(
+            rng.normal(0, 0.1, (cout, cin, k, k)).astype(np.float32))
+        bstate[f"features.{idx0}.bias"] = torch.tensor(
+            rng.normal(0, 0.1, cout).astype(np.float32))
+    for i, c in enumerate(channels):
+        hstate[f"lin{i}.model.1.weight"] = torch.tensor(
+            np.abs(rng.normal(0, 0.1, (1, c, 1, 1))).astype(np.float32))
+    return bstate, hstate
+
+
+def test_autoconvert_from_torch_hub_cache(tmp_path, monkeypatch):
+    """If the torchvision backbone appears in the torch hub cache and the
+    richzhang heads in the ed3dgs cache, LPIPS lights up with NO code or env
+    changes (VERDICT r1 item 8)."""
+    import os
+    monkeypatch.delenv("ED3DGS_LPIPS_WEIGHTS_ALEX", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path / "torch"))
+    hub = tmp_path / "torch" / "hub" / "checkpoints"
+    hub.mkdir(parents=True)
+    cache = tmp_path / ".cache" / "ed3dgs_tpu"
+    cache.mkdir(parents=True)
+    bstate, hstate = _fake_torch_checkpoints(tmp_path)
+    torch.save(bstate, hub / "alexnet-owt-7be5be79.pth")
+    torch.save(hstate, cache / "lpips_heads_alex.pth")
+
+    model = load_lpips("alex")
+    assert model is not None
+    # the conversion was cached as the canonical npz
+    assert os.path.exists(cache / "lpips_alex.npz")
+    x = np.zeros((1, 3, 64, 64), np.float32)
+    assert float(model(x, x)[0]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lpips_cli(tmp_path, monkeypatch, capsys):
+    from ed3dgs_tpu.utils.lpips_jax import _main
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.delenv("TORCH_HOME", raising=False)
+    bstate, hstate = _fake_torch_checkpoints(tmp_path)
+    torch.save(bstate, tmp_path / "b.pth")
+    torch.save(hstate, tmp_path / "h.pth")
+    out = tmp_path / "out.npz"
+    assert _main(["convert", "--net", "alex", "--backbone",
+                  str(tmp_path / "b.pth"), "--heads", str(tmp_path / "h.pth"),
+                  "--out", str(out)]) == 0
+    assert out.exists()
+    assert _main(["status"]) == 0
+    assert "alex:" in capsys.readouterr().out
