@@ -257,11 +257,9 @@ def rasterize(proj: ProjectedGaussians, tongue: jnp.ndarray, bg: jnp.ndarray,
               cfg: RasterConfig) -> RasterOutputs:
     backend = _resolve_backend(cfg.backend)
     if backend == "reference":
-        out = rasterize_reference(proj, tongue, bg, width=cfg.width,
-                                  height=cfg.height, focal_x=cfg.focal_x,
-                                  focal_y=cfg.focal_y)
-        # the O(N*pixels) oracle blends every splat — it cannot truncate
-        return out._replace(tile_overflow=jnp.asarray(False))
+        return rasterize_reference(proj, tongue, bg, width=cfg.width,
+                                   height=cfg.height, focal_x=cfg.focal_x,
+                                   focal_y=cfg.focal_y)
     if backend == "xla":
         return _xla_forward(proj, tongue, bg, cfg)
     if backend == "pallas":

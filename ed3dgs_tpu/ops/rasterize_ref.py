@@ -161,4 +161,6 @@ def rasterize_reference(
         median_depth=img(median_depth[:, None], 1),
         normal=img(out_normal, 3),
         tongue=img(tongue_out[:, None], 1),
+        # the O(N*pixels) oracle blends every splat — it cannot truncate
+        tile_overflow=jnp.asarray(False),
     )

@@ -178,7 +178,7 @@ def test_deformation_learns_motion_at_held_out_time():
     step = make_train_step(setup, opt_cfg, optimizer)
     knn = update_knn_cache(state.params["gaussians"], aux)
     train_tis = [0, 1, 3, 4, 5]
-    for i in range(1, 301):
+    for i in range(1, 251):
         ti = train_tis[i % 5]
         state, aux, _ = step(state, aux,
                              batch_of(cams[i % 2], GT[(i % 2, ti)],
@@ -190,7 +190,7 @@ def test_deformation_learns_motion_at_held_out_time():
             o = render(state.params["gaussians"], aux,
                        state.params["deform"], hidden,
                        settings_from_camera(cam, float(t_query), 0), rcfg,
-                       bg, iteration=300)
+                       bg, iteration=250)
             ps.append(float(jnp.mean(L.psnr(
                 o["render"][None], jnp.asarray(GT[(ci, ti_gt)])[None]))))
         return float(np.mean(ps))

@@ -104,10 +104,13 @@ def test_tile_sharded_gradients_match():
 
 
 def test_tile_sharded_overflow_reported():
-    (means, scales, q, opac, shs), tongue, args, cfg = build()
+    # small scene + 4-strip mesh: compile cost only, semantics identical
+    (means, scales, q, opac, shs), tongue, args, cfg = build(n=48, cap=64)
+    from dataclasses import replace as dc_replace
+    cfg = dc_replace(cfg, pair_capacity=1 << 10)
     bg = jnp.ones(3)
     proj = project_gaussians(means, scales, q, opac, shs, **args)
-    mesh = make_mesh(data=1, gauss=8)
+    mesh = make_mesh(data=1, gauss=4)
     _, overflow = tile_sharded_rasterize(proj, tongue, bg, cfg, mesh,
                                          send_capacity=4)
     assert int(overflow) > 4  # demand honestly reported past the cap
