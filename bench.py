@@ -91,17 +91,19 @@ def time_fn(f, fargs, iters=20):
     rlo, rhi = make(lo), make(hi)
     jax.block_until_ready(rlo(means, *rest))
     jax.block_until_ready(rhi(means, *rest))
-    samples = []
-    for rep in range(3):
+    # the tunnel adds large one-sided latency spikes (hundreds of ms);
+    # min-of-reps per chain length is robust to them, a per-rep difference
+    # median is not (measured: spikes flipped the slope by 10x)
+    tls, ths = [], []
+    for rep in range(5):
         eps = np.float32(1e-5 * (rep + 1))
         t0 = time.time()
         jax.block_until_ready(rlo(means + eps, *rest))
-        tl = time.time() - t0
+        tls.append(time.time() - t0)
         t0 = time.time()
         jax.block_until_ready(rhi(means + 2 * eps, *rest))
-        th = time.time() - t0
-        samples.append((th - tl) / (hi - lo))
-    return float(np.median(samples))
+        ths.append(time.time() - t0)
+    return float((min(ths) - min(tls)) / (hi - lo))
 
 
 def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
@@ -178,17 +180,16 @@ def time_train(raw_step, state, aux, batch, knn_cache, iters=12):
     gt0 = batch["gt_image"]
     jax.block_until_ready(run(state, aux, gt0, lo))
     jax.block_until_ready(run(state, aux, gt0, hi))
-    samples = []
-    for rep in range(3):
+    tls, ths = [], []   # min-of-reps per chain length (see time_fn)
+    for rep in range(5):
         eps = np.float32(1e-5 * (rep + 1))
         t0 = time.time()
         jax.block_until_ready(run(state, aux, gt0 + eps, lo))
-        tl = time.time() - t0
+        tls.append(time.time() - t0)
         t0 = time.time()
         jax.block_until_ready(run(state, aux, gt0 + 2 * eps, hi))
-        th = time.time() - t0
-        samples.append((th - tl) / (hi - lo))
-    return float(np.median(samples))
+        ths.append(time.time() - t0)
+    return float((min(ths) - min(tls)) / (hi - lo))
 
 
 def main():

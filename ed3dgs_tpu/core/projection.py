@@ -24,7 +24,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .camera_math import ndc_to_pixel
-from .quaternion import build_covariance_3d, unpack_sym3
+from .quaternion import (build_covariance_3d, sym3_congruence,
+                         sym3_matvec)
 from .sh import sh_to_rgb
 from .sym3 import sym3_pseudo_inverse_min
 
@@ -108,16 +109,15 @@ def project_gaussians(
     v = jnp.clip(p_view[:, 1] / safe_tz, -limy, limy)
     tx, ty = u * tz, v * tz
 
-    Sigma = unpack_sym3(cov3d)
-    Sigma_cam = jnp.einsum("ij,njk,lk->nil", R_cw, Sigma, R_cw)
+    Sigma_cam = sym3_congruence(R_cw, cov3d)        # packed [N, 6]
     # J rows: d(fx*x/z)/d(xyz), d(fy*y/z)/d(xyz) at the clamped point.
     inv_tz = 1.0 / safe_tz
     j00 = focal_x * inv_tz
     j02 = -focal_x * tx * inv_tz * inv_tz
     j11 = focal_y * inv_tz
     j12 = -focal_y * ty * inv_tz * inv_tz
-    s00, s01, s02 = Sigma_cam[:, 0, 0], Sigma_cam[:, 0, 1], Sigma_cam[:, 0, 2]
-    s11, s12, s22 = Sigma_cam[:, 1, 1], Sigma_cam[:, 1, 2], Sigma_cam[:, 2, 2]
+    s00, s01, s02 = Sigma_cam[:, 0], Sigma_cam[:, 1], Sigma_cam[:, 2]
+    s11, s12, s22 = Sigma_cam[:, 3], Sigma_cam[:, 4], Sigma_cam[:, 5]
     c00 = j00 * j00 * s00 + 2.0 * j00 * j02 * s02 + j02 * j02 * s22
     c01 = j00 * j11 * s01 + j00 * j12 * s02 + j02 * j11 * s12 + j02 * j12 * s22
     c11 = j11 * j11 * s11 + 2.0 * j11 * j12 * s12 + j12 * j12 * s22
@@ -174,10 +174,10 @@ def project_gaussians(
 
     # --- RaDe-GS plane/normal geometry (forward.cu:135-262)
     sigma_inv, well = sym3_pseudo_inverse_min(cov3d)
-    SigInv = unpack_sym3(sigma_inv)
-    cov_cam_inv = jnp.einsum("ij,njk,lk->nil", R_cw, SigInv, R_cw)
+    cov_cam_inv = sym3_congruence(R_cw, sigma_inv)  # packed [N, 6]
     uvh = jnp.stack([u, v, jnp.ones_like(u)], axis=-1)
-    uvh_m = jnp.einsum("nij,nj->ni", cov_cam_inv, uvh)
+    uvh_m = jnp.stack(sym3_matvec(cov_cam_inv, u, v, jnp.ones_like(u)),
+                      axis=-1)
     uvh_sq = jnp.sum(uvh_m * uvh_m, axis=-1, keepdims=True)
     geom_ok = (uvh_sq[:, 0] > 1e-30) & jnp.isfinite(uvh_sq[:, 0])
     # safe-input: sqrt has an unbounded derivative at 0, so feed it 1 off-mask
@@ -244,7 +244,10 @@ def project_gaussians(
             ],
             axis=-2,
         )  # [N, 3, 3]
-        icr = jnp.einsum("nij,njk,nlk->nil", nJif, cov_cam_inv, nJif)
+        # offline integrate path only: the [N,3,3] einsum is fine here
+        from .quaternion import unpack_sym3
+        icr = jnp.einsum("nij,njk,nlk->nil", nJif, unpack_sym3(cov_cam_inv),
+                         nJif)
         s = jnp.array([1.0 / focal_x, 1.0 / focal_y, 1.0], jnp.float32)
         icr = icr * s[None, :, None] * s[None, None, :]
         invraycov = jnp.stack(

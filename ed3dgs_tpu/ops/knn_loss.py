@@ -123,7 +123,7 @@ def _kernel_a(emb_ref, gj_ref, w_ref, coef_ref, de_ref, lp_ref, *, K: int):
     de = jnp.zeros_like(de_ref)
     acc = jnp.float32(0.0)
     for kk in range(K):                                # unrolled, VMEM-local
-        diff = e - gj_ref[kk]                          # [BA, E]
+        diff = e - gj_ref[kk].astype(jnp.float32)      # [BA, E]
         d2 = jnp.sum(diff * diff, axis=1, keepdims=True)
         wk = w_ref[:, kk:kk + 1]                       # [BA, 1]
         v = jnp.sqrt(d2 * wk + _EPS)
@@ -142,7 +142,7 @@ def _kernel_b(blk_s, chp_s, gi_ref, wc_ref, emb_ref, dj_ref, *, chunk: int):
     def _():
         dj_ref[...] = jnp.zeros_like(dj_ref)
 
-    gi = gi_ref[...]                                   # [chunk, E]
+    gi = gi_ref[...].astype(jnp.float32)               # [chunk, E]
     # pair -> segment one-hot [chunk, 128] from the pair's stored segment id
     # (wc lane 2); used with BOTH contraction dims: dim1 x dim0 reconstructs
     # e_j per pair, dim0 x dim0 is the segment reduction of the pair grads.
@@ -163,7 +163,8 @@ def _kernel_b(blk_s, chp_s, gi_ref, wc_ref, emb_ref, dj_ref, *, chunk: int):
         preferred_element_type=jnp.float32)            # [128, E]
 
 
-def _run(emb: jnp.ndarray, graph: KnnGraph, chunk: int, interpret: bool):
+def _run(emb: jnp.ndarray, graph: KnnGraph, chunk: int, interpret: bool,
+         bf16_gather: bool = False):
     C, E = emb.shape
     K = graph.w2.shape[1]
     Cp = graph.coef.shape[0]
@@ -175,8 +176,13 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, chunk: int, interpret: bool):
     # the j-sorted pair rows (suffix). Splitting it into two gathers lets
     # XLA make two independent VMEM-staging decisions for the source table —
     # measured one of them falling off the fast staged path (3.6 -> 20 ms)
-    # inside the full train step.
-    gall = emb_p[graph.all_rows]                       # [(2K+1)*Cp, E]
+    # inside the full train step. bf16_gather keeps the gathered copies in
+    # bf16 — measured NO speedup on v5e (the 4.1M-row small-source gather is
+    # index-rate bound at ~1.8 ns/row, not bandwidth bound), so the default
+    # stays f32-exact; the option + tolerance test remain as the measured
+    # record (tests/test_knn_loss.py).
+    src = emb_p.astype(jnp.bfloat16) if bf16_gather else emb_p
+    gall = src[graph.all_rows]                         # [(2K+1)*Cp, E]
     gall3 = gall.reshape(2 * K + 1, Cp, E)             # bitcast view (pass A)
 
     ba = _BLK_A if Cp % _BLK_A == 0 else _BLK
@@ -222,19 +228,19 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, chunk: int, interpret: bool):
     return loss, (de + dj)[:C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def knn_loss_fused(emb, graph: KnnGraph, chunk: int = 1024,
-                   interpret: bool = False):
-    loss, _ = _run(emb, graph, chunk, interpret)
+                   interpret: bool = False, bf16_gather: bool = False):
+    loss, _ = _run(emb, graph, chunk, interpret, bf16_gather)
     return loss
 
 
-def _fused_fwd(emb, graph, chunk, interpret):
-    loss, demb = _run(emb, graph, chunk, interpret)
+def _fused_fwd(emb, graph, chunk, interpret, bf16_gather):
+    loss, demb = _run(emb, graph, chunk, interpret, bf16_gather)
     return loss, demb
 
 
-def _fused_bwd(chunk, interpret, demb, g):
+def _fused_bwd(chunk, interpret, bf16_gather, demb, g):
     return g * demb, None
 
 

@@ -57,14 +57,16 @@ def _resolve_backend(backend: str) -> str:
 def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
                    grid) -> RasterOutputs:
     grid_x, grid_y = grid
-
-    def to_img(x, c):
-        x = x.reshape(grid_y, grid_x, TILE, TILE, c)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, c)
-        return x[: cfg.height, : cfg.width].transpose(2, 0, 1)
-
-    ch = {k: to_img(packed[:, :, s], s.stop - s.start)
-          for k, s in rp.OUT_CHANNELS.items()}
+    C = packed.shape[-1]
+    # ONE relayout: [T, PIX, C] -> channel-major [C, H, W]. Slicing channels
+    # afterwards cuts along the LEADING dim (free); the previous per-channel
+    # to_img slices each materialized a 128-lane-padded [T, PIX, c] array
+    # (~4x physical blowup, profiled ~3.5 ms/frame of pure padding traffic).
+    img = packed.reshape(grid_y, grid_x, TILE, TILE, C)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(C, grid_y * TILE,
+                                               grid_x * TILE)
+    img = img[:, : cfg.height, : cfg.width]
+    ch = {k: img[s] for k, s in rp.OUT_CHANNELS.items()}
     color = ch["color"] + ch["t_final"] * bg[:, None, None]
     return RasterOutputs(
         color=color,
