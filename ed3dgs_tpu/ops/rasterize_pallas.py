@@ -186,12 +186,13 @@ def _forward_kernel(
         # median selection: last include with transmittance-before > 0.5,
         # found by a max-index reduction instead of a masked scan. Once every
         # pixel has crossed T=0.5 (typically within the first chunk or two)
-        # mmask goes permanently empty — skip its three matmuls entirely.
-        mmask = include & (p_excl > MEDIAN_T)
-        midx = jnp.max(jnp.where(mmask, rowid, -1), axis=0)    # [PIX]
-
-        @pl.when(jnp.max(midx) >= 0)
+        # the whole block — including the mmask/midx bookkeeping, not just
+        # the matmuls — is skipped: p_excl <= t_carry, so no crossing can
+        # occur once max(t_carry) <= 0.5 (saves ~10% of the chunk VPU ops)
+        @pl.when(jnp.max(t_carry) > MEDIAN_T)
         def _():
+            mmask = include & (p_excl > MEDIAN_T)
+            midx = jnp.max(jnp.where(mmask, rowid, -1), axis=0)  # [PIX]
             sel = jnp.where((rowid == midx[None, :]) & mmask, 1.0, 0.0)
             hasv = midx >= 0
             m_w = mm(sel, block)
