@@ -56,25 +56,40 @@ def _pack_for_strips(rows, depth, valid, ry0, ry1, g: int, strip_rows: int,
                      cap: int):
     """[Nl, F] rows -> [g, cap, F] send buffers + per-dest true counts [g].
 
-    Compaction is argsort-then-row-gather, NOT a scatter: row scatters cost
-    ~14ns/row on TPU (docs/performance.md) while an [N] sort + [cap, F] row
-    gather run at sort/DMA speed. The sort key is depth (invalid rows to the
-    back), so capacity overflow drops the DEEPEST splats — the same contract
-    as BinnedPairs.num_pairs — and receivers get depth-ordered rows.
+    Compaction reuses the tile-binning machinery (ops.binning.bin_rows) with
+    the DESTINATION STRIP as the "tile" axis: one stable sort of the
+    (row, strip) pair list replaces the previous per-destination argsort of
+    the full shard (O(g * N log N) — a wall at pod scale; this is
+    O(P log P) with P <= 2N typical since most rows touch one strip).
+    Pairs are generated in depth order, so each destination's range holds
+    its SHALLOWEST rows first and capacity overflow drops the deepest —
+    the same contract as BinnedPairs.num_pairs. Per-dest demand past the
+    global pair budget folds into the reported counts so the caller's
+    overflow contract (re-render with a larger capacity) still fires.
     """
+    from ..ops.binning import bin_rows
+
     n = rows.shape[0]
-    take = min(cap, n)
-    bufs, counts = [], []
-    for d in range(g):
-        inter = valid & (ry0 < (d + 1) * strip_rows) & (ry1 > d * strip_rows)
-        key = jnp.where(inter, depth, jnp.inf)
-        order = jnp.argsort(key, stable=True)[:take]
-        buf = jnp.where(inter[order][:, None], rows[order], 0.0)
-        if cap > n:
-            buf = jnp.pad(buf, ((0, cap - n), (0, 0)))
-        bufs.append(buf)
-        counts.append(jnp.sum(inter.astype(jnp.int32)))
-    return jnp.stack(bufs), jnp.stack(counts)
+    d0 = jnp.clip(ry0 // strip_rows, 0, g)
+    d1 = jnp.clip(-(-ry1 // strip_rows), 0, g)      # ceil(ry1 / strip_rows)
+    nd = jnp.where(valid, jnp.maximum(d1 - d0, 0), 0).astype(jnp.int32)
+    zeros = jnp.zeros_like(d0)
+    K = max(2 * n, g * 64)
+    bins = bin_rows(depth, valid & (nd > 0), nd,
+                    jnp.stack([zeros, d0], 1), jnp.stack([zeros + 1, d1], 1),
+                    grid_x=1, grid_y=g, pair_capacity=K)
+    slots = bins.tile_start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    in_range = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                < jnp.minimum(bins.tile_count, cap)[:, None])
+    ranks = bins.pair_gauss[jnp.clip(slots, 0, K - 1)]        # [g, cap]
+    rows_sorted = rows[bins.order]
+    bufs = jnp.where(in_range[:, :, None], rows_sorted[ranks], 0.0)
+    # true per-dest demand; if the global pair budget itself truncated,
+    # surface that too (any value > cap triggers the caller's re-render)
+    counts = jnp.maximum(
+        bins.tile_count,
+        jnp.where(bins.num_pairs > K, bins.num_pairs, 0))
+    return bufs, counts
 
 
 def _strip_raster(payload, depth, valid, rect_min, rect_max, bg, *,
