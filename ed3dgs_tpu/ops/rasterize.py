@@ -57,13 +57,14 @@ def _resolve_backend(backend: str) -> str:
 def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
                    grid) -> RasterOutputs:
     grid_x, grid_y = grid
-    C = packed.shape[-1]
-    # ONE relayout: [T, PIX, C] -> channel-major [C, H, W]. Slicing channels
-    # afterwards cuts along the LEADING dim (free); the previous per-channel
-    # to_img slices each materialized a 128-lane-padded [T, PIX, c] array
-    # (~4x physical blowup, profiled ~3.5 ms/frame of pure padding traffic).
-    img = packed.reshape(grid_y, grid_x, TILE, TILE, C)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(C, grid_y * TILE,
+    C = packed.shape[1]
+    # ONE relayout: [T, C, PIX] -> channel-major [C, H, W]. The kernel emits
+    # channels on the sublane dim and PIX on the lane dim, so both the kernel
+    # write and this transpose move dense 256-lane rows (a [T, PIX, C] layout
+    # physically pads C -> 128 lanes in HBM: ~5x traffic, profiled ~3.5
+    # ms/frame). Slicing channels afterwards cuts the LEADING dim (free).
+    img = packed.reshape(grid_y, grid_x, C, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(C, grid_y * TILE,
                                                grid_x * TILE)
     img = img[:, : cfg.height, : cfg.width]
     ch = {k: img[s] for k, s in rp.OUT_CHANNELS.items()}

@@ -17,7 +17,7 @@ and channel accumulation as three MXU matmuls per chunk:
 where payload carries a constant-1 column so Sum(w) falls out of acc_w.
 Median (T=0.5 crossing) channels use the same trick with a one-hot `sel`
 mask. All finalization (forward.cu:757-821) happens in-kernel; the output is
-a packed [tiles, 256, 32] channel tensor reassembled outside.
+a packed [tiles, 24, 256] channel-major tensor reassembled outside.
 """
 
 from __future__ import annotations
@@ -35,7 +35,10 @@ from .common import ALPHA_MAX, ALPHA_MIN, MEDIAN_T, NORMALIZE_EPS, T_STOP, TILE
 
 PIX = TILE * TILE
 
-# Output channel packing (columns of the [tiles, PIX, OUT_PAD] kernel output).
+# Output channel packing: ROWS of the [tiles, OUT_PAD, PIX] kernel output.
+# Channel-major with PIX=256 on the lane dim: a [T, PIX, 18]-ish layout would
+# physically pad its minor dim 18 -> 128 lanes in HBM (~5x padding traffic on
+# every kernel write and on the unpack transpose); [T, 24, 256] is dense.
 OUT_CHANNELS = {
     "color": slice(0, 3),
     "weight": slice(3, 4),
@@ -49,28 +52,43 @@ OUT_CHANNELS = {
     "normal_len": slice(17, 18),   # backward residual (reference normal_length)
 }
 OUT_DIM = 18
-OUT_PAD = 32
+OUT_PAD = 24
 
 
-def _scan_sublane(x, op, identity, inclusive=True):
-    """Inclusive scan along axis 0 of [C, P] via log2(C) masked rolls."""
-    C = x.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
+
+def _make_scan_masks(shape):
+    """Loop-invariant row>=k masks for the log-step roll scans. Built ONCE
+    per kernel invocation (outside the chunk loop): Mosaic does not hoist
+    the iota+compare out of fori_loop bodies, and each scan re-deriving them
+    costs log2(C) extra full-array ops per chunk."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    masks = []
     k = 1
-    while k < C:
+    while k < shape[0]:
+        masks.append(row >= k)
+        k *= 2
+    return masks
+
+
+def _scan_sublane(x, op, identity, masks):
+    """Inclusive scan along axis 0 of [C, P] via log2(C) masked rolls."""
+    k = 1
+    for m in masks:
         shifted = pltpu.roll(x, k, axis=0)
-        shifted = jnp.where(row >= k, shifted, identity)
-        x = op(x, shifted)
+        x = op(x, jnp.where(m, shifted, identity))
         k *= 2
     return x
 
 
-def _cumprod_sublane(x):
-    return _scan_sublane(x, jnp.multiply, 1.0)
+def _cumprod_sublane(x, masks):
+    return _scan_sublane(x, jnp.multiply, 1.0, masks)
 
 
-def _cumsum_sublane(x):
-    return _scan_sublane(x, jnp.add, 0.0)
+def _cumsum_sublane(x, masks):
+    return _scan_sublane(x, jnp.add, 0.0, masks)
 
 
 def _forward_kernel(
@@ -115,6 +133,8 @@ def _forward_kernel(
 
     n_chunks = pl.cdiv(count, chunk)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (chunk, PIX), 0)
+    masks = _make_scan_masks((chunk, PIX))
+    mask1 = masks[0]
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
@@ -147,25 +167,28 @@ def _forward_kernel(
         S = PAYLOAD_SLICES
         xy_x = block[:, S["mean2d"].start:S["mean2d"].start + 1]
         xy_y = block[:, S["mean2d"].start + 1:S["mean2d"].start + 2]
-        c0 = block[:, S["conic"].start:S["conic"].start + 1]
-        c1 = block[:, S["conic"].start + 1:S["conic"].start + 2]
-        c2 = block[:, S["conic"].start + 2:S["conic"].start + 3]
+        # fold the -0.5 of the quadratic AND exp->exp2 rescale into the [C,1]
+        # conic columns (cheap narrow ops) so the [C,PIX] power chain is 7 ops
+        # instead of 9 and the exp costs no extra log2(e) multiply
+        c0e = block[:, S["conic"].start:S["conic"].start + 1] * (-0.5 * LOG2E)
+        c1e = block[:, S["conic"].start + 1:S["conic"].start + 2] * (-LOG2E)
+        c2e = block[:, S["conic"].start + 2:S["conic"].start + 3] * (-0.5 * LOG2E)
         op = block[:, S["opacity"]]
 
         dx = xy_x - pxf            # [C, PIX]
         dy = xy_y - pyf
-        power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        inrow = (c * chunk + rowid) < count
-        passes = inrow & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        power2 = dx * (c0e * dx + c1e * dy) + c2e * dy * dy  # power * log2(e)
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp2(power2))
+        inrow = rowid < (count - c * chunk)
+        passes = inrow & (power2 <= 0.0) & (alpha >= ALPHA_MIN)
         a = jnp.where(passes, alpha, 0.0)
         om = 1.0 - a
 
-        cum_raw = _cumprod_sublane(om)               # inclusive
-        # exclusive product by shift (a divide by om costs ~2x the 3 cheap ops)
-        cum_excl = jnp.where(rowid >= 1, pltpu.roll(cum_raw, 1, axis=0), 1.0)
+        cum_raw = _cumprod_sublane(om, masks)        # inclusive
         p_incl = t_carry * cum_raw
-        p_excl = t_carry * cum_excl
+        # exclusive product by shifting the inclusive one (a divide by om
+        # costs ~2x; t_carry broadcast fills row 0)
+        p_excl = jnp.where(mask1, pltpu.roll(p_incl, 1, axis=0), t_carry)
         include = passes & (p_incl >= T_STOP)
         w = jnp.where(include, a * p_excl, 0.0)
 
@@ -175,13 +198,15 @@ def _forward_kernel(
         new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
         state[0, :] = new_t
 
+        # accumulate channel-major [F, PIX] (same MXU cost as [PIX, F]; keeps
+        # the finalize + output write in the dense lane layout)
         dims = (((0,), (0,)), ((), ()))
         mm = functools.partial(
             jax.lax.dot_general, dimension_numbers=dims,
             preferred_element_type=jnp.float32)
-        acc_w[:] = acc_w[:] + mm(w, block)
-        acc_wx[:] = acc_wx[:] + mm(w * dx, block)
-        acc_wy[:] = acc_wy[:] + mm(w * dy, block)
+        acc_w[:] = acc_w[:] + mm(block, w)
+        acc_wx[:] = acc_wx[:] + mm(block, w * dx)
+        acc_wy[:] = acc_wy[:] + mm(block, w * dy)
 
         # median selection: last include with transmittance-before > 0.5,
         # found by a max-index reduction instead of a masked scan. Once every
@@ -195,15 +220,15 @@ def _forward_kernel(
             midx = jnp.max(jnp.where(mmask, rowid, -1), axis=0)  # [PIX]
             sel = jnp.where((rowid == midx[None, :]) & mmask, 1.0, 0.0)
             hasv = midx >= 0
-            m_w = mm(sel, block)
-            m_wx = mm(sel * dx, block)
-            m_wy = mm(sel * dy, block)
+            m_w = mm(block, sel)              # [F, PIX]
+            m_wx = mm(block, sel * dx)
+            m_wy = mm(block, sel * dy)
             vp, cp, rp = S["view_point"], S["camera_planes"], S["ray_plane"]
             ts_s = S["ts"]
-            mc0 = (m_w[:, vp.start] + m_wx[:, cp.start] + m_wy[:, cp.start + 1])
-            mc1 = (m_w[:, vp.start + 1] + m_wx[:, cp.start + 2] + m_wy[:, cp.start + 3])
-            mc2 = (m_w[:, vp.start + 2] + m_wx[:, cp.start + 4] + m_wy[:, cp.start + 5])
-            mt = (m_w[:, ts_s.start] + m_wx[:, rp.start] + m_wy[:, rp.start + 1])
+            mc0 = (m_w[vp.start] + m_wx[cp.start] + m_wy[cp.start + 1])
+            mc1 = (m_w[vp.start + 1] + m_wx[cp.start + 2] + m_wy[cp.start + 3])
+            mc2 = (m_w[vp.start + 2] + m_wx[cp.start + 4] + m_wy[cp.start + 5])
+            mt = (m_w[ts_s.start] + m_wx[rp.start] + m_wy[rp.start + 1])
             med[0, :] = jnp.where(hasv, mt, med[0, :])
             med[1, :] = jnp.where(hasv, mc0, med[1, :])
             med[2, :] = jnp.where(hasv, mc1, med[2, :])
@@ -211,46 +236,46 @@ def _forward_kernel(
 
     jax.lax.fori_loop(0, n_chunks, body, jnp.float32(1.0))
 
-    # ---- finalize (forward.cu:757-821) ----
+    # ---- finalize (forward.cu:757-821), all in [rows, PIX] layout ----
     S = PAYLOAD_SLICES
-    aw = acc_w[:]    # [PIX, F]
+    aw = acc_w[:]    # [F, PIX]
     awx = acc_wx[:]
     awy = acc_wy[:]
     # every include contributes w >= ALPHA_MIN * T_STOP (positive in f32),
     # so weight > 0 is exactly "any contributor" — no per-chunk tracking
-    weight = aw[:, ONES_COL:ONES_COL + 1]                   # [PIX, 1]
+    weight = aw[ONES_COL:ONES_COL + 1, :]                   # [1, PIX]
     any_c = weight > 0.0
     inv_w = jnp.where(any_c, 1.0 / jnp.where(any_c, weight, 1.0), 0.0)
 
-    u = (pxf_col - half_w) / focal_x
-    v = (pyf_col - half_h) / focal_y
-    ln = jnp.sqrt(u * u + v * v + 1.0)                      # [PIX, 1]
+    u = (pxf - half_w) / focal_x                            # [1, PIX]
+    v = (pyf - half_h) / focal_y
+    ln = jnp.sqrt(u * u + v * v + 1.0)                      # [1, PIX]
 
-    color = aw[:, S["rgb"]]
-    tongue = aw[:, S["tongue"]]
+    color = aw[S["rgb"], :]                                 # [3, PIX]
+    tongue = aw[S["tongue"], :]
     vp, cp, rp = S["view_point"], S["camera_planes"], S["ray_plane"]
-    coord0 = aw[:, vp.start:vp.start + 1] + awx[:, cp.start:cp.start + 1] + awy[:, cp.start + 1:cp.start + 2]
-    coord1 = aw[:, vp.start + 1:vp.start + 2] + awx[:, cp.start + 2:cp.start + 3] + awy[:, cp.start + 3:cp.start + 4]
-    coord2 = aw[:, vp.start + 2:vp.start + 3] + awx[:, cp.start + 4:cp.start + 5] + awy[:, cp.start + 5:cp.start + 6]
-    depth_ray = (aw[:, S["ts"]] + awx[:, rp.start:rp.start + 1] + awy[:, rp.start + 1:rp.start + 2])
-    nrm = aw[:, S["normal"]]
+    coord0 = aw[vp.start:vp.start + 1, :] + awx[cp.start:cp.start + 1, :] + awy[cp.start + 1:cp.start + 2, :]
+    coord1 = aw[vp.start + 1:vp.start + 2, :] + awx[cp.start + 2:cp.start + 3, :] + awy[cp.start + 3:cp.start + 4, :]
+    coord2 = aw[vp.start + 2:vp.start + 3, :] + awx[cp.start + 4:cp.start + 5, :] + awy[cp.start + 5:cp.start + 6, :]
+    depth_ray = (aw[S["ts"], :] + awx[rp.start:rp.start + 1, :] + awy[rp.start + 1:rp.start + 2, :])
+    nrm = aw[S["normal"], :]                                # [3, PIX]
 
     exp_depth = (depth_ray / ln) * inv_w
-    exp_coord = jnp.concatenate([coord0, coord1, coord2], axis=1) * inv_w
-    n_sq = jnp.sum(nrm * nrm, axis=1, keepdims=True)
+    exp_coord = jnp.concatenate([coord0, coord1, coord2], axis=0) * inv_w
+    n_sq = jnp.sum(nrm * nrm, axis=0, keepdims=True)
     n_len = jnp.sqrt(jnp.where(n_sq < 1e-30, 1.0, n_sq))
     out_normal = jnp.where(any_c, nrm / jnp.maximum(n_len, NORMALIZE_EPS), 0.0)
-    m_t = med[0, :].reshape(PIX, 1)
-    m_coord = jnp.stack([med[1, :], med[2, :], med[3, :]], axis=1)
+    m_t = med[0:1, :]
+    m_coord = med[1:4, :]
     mdepth = jnp.where(any_c, m_t / ln, 0.0)
     m_coord = jnp.where(any_c, m_coord, 0.0)
 
     packed = jnp.concatenate(
-        [color, weight, state[0, :].reshape(PIX, 1), exp_coord, m_coord,
+        [color, weight, state[0:1, :], exp_coord, m_coord,
          exp_depth, mdepth, tongue, out_normal, n_len],
-        axis=1,
-    )  # [PIX, OUT_DIM]
-    packed = jnp.pad(packed, ((0, 0), (0, OUT_PAD - OUT_DIM)))
+        axis=0,
+    )  # [OUT_DIM, PIX]
+    packed = jnp.pad(packed, ((0, OUT_PAD - OUT_DIM), (0, 0)))
     out_ref[0] = packed
 
 
@@ -311,6 +336,8 @@ def _backward_kernel(
     OC = OUT_CHANNELS
     n_chunks = pl.cdiv(count, chunk)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (chunk, PIX), 0)
+    masks = _make_scan_masks((chunk, PIX))
+    mask1 = masks[0]
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
@@ -318,21 +345,23 @@ def _backward_kernel(
             buf.at[slot], sem.at[slot])
 
     def alphas_of(block, c):
+        # same e-folded conic diet as the forward kernel (see _forward_kernel)
         xy_x = block[:, S["mean2d"].start:S["mean2d"].start + 1]
         xy_y = block[:, S["mean2d"].start + 1:S["mean2d"].start + 2]
-        c0 = block[:, S["conic"].start:S["conic"].start + 1]
-        c1 = block[:, S["conic"].start + 1:S["conic"].start + 2]
-        c2 = block[:, S["conic"].start + 2:S["conic"].start + 3]
+        c0e = block[:, S["conic"].start:S["conic"].start + 1] * (-0.5 * LOG2E)
+        c1e = block[:, S["conic"].start + 1:S["conic"].start + 2] * (-LOG2E)
+        c2e = block[:, S["conic"].start + 2:S["conic"].start + 3] * (-0.5 * LOG2E)
         op = block[:, S["opacity"]]
         dx = xy_x - pxf
         dy = xy_y - pyf
-        power = -0.5 * (c0 * dx * dx + c2 * dy * dy) - c1 * dx * dy
-        alpha_raw = op * jnp.exp(power)
+        power2 = dx * (c0e * dx + c1e * dy) + c2e * dy * dy
+        e2 = jnp.exp2(power2)
+        alpha_raw = op * e2
         alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-        inrow = (c * chunk + rowid) < count
-        passes = inrow & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        inrow = rowid < (count - c * chunk)
+        passes = inrow & (power2 <= 0.0) & (alpha >= ALPHA_MIN)
         a = jnp.where(passes, alpha, 0.0)
-        return dx, dy, power, alpha_raw, alpha, passes, a, (c0, c1, c2)
+        return dx, dy, e2, alpha_raw, alpha, passes, a, (c0e, c1e, c2e)
 
     # ---- pass A: transmittance checkpoints --------------------------------
     # Early-stops at the same saturation point as the forward while_loop; the
@@ -357,10 +386,10 @@ def _backward_kernel(
             get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
         get_dma(slot, c).wait()
         block = buf[slot]
-        _dx, _dy, _pw, _ar, _al, passes, a, _con = alphas_of(block, c)
+        _dx, _dy, _e2, _ar, _al, passes, a, _con = alphas_of(block, c)
         om = 1.0 - a
         t_carry = tchk[c].reshape(1, PIX)
-        cum_raw = _cumprod_sublane(om)
+        cum_raw = _cumprod_sublane(om, masks)
         p_incl = t_carry * cum_raw
         include = passes & (p_incl >= T_STOP)
         # masked-min form of the chunk-final transmittance (see forward)
@@ -378,85 +407,87 @@ def _backward_kernel(
     def _():
         get_dma(jax.lax.rem(c_live, 2), c_live).wait()
 
-    # ---- un-finalize the output cotangents --------------------------------
-    pk = packed_ref[0]       # [PIX, OUT_PAD]
+    # ---- un-finalize the output cotangents (all [rows, PIX]) --------------
+    pk = packed_ref[0]       # [OUT_PAD, PIX]
     ct = cot_ref[0]
-    W = pk[:, OC["weight"]][:, 0]                     # [PIX]
+    W = pk[OC["weight"], :]                           # [1, PIX]
     anyc = W > 0.0
     safe_W = jnp.where(anyc, W, 1.0)
-    t_fin = pk[:, OC["t_final"]][:, 0]
-    cot_W = ct[:, OC["weight"]][:, 0]
-    cot_T = ct[:, OC["t_final"]][:, 0]
+    t_fin = pk[OC["t_final"], :]
+    cot_W = ct[OC["weight"], :]
+    cot_T = ct[OC["t_final"], :]
 
-    cot_rgb = ct[:, OC["color"]]                      # [PIX, 3]
-    cot_tng = ct[:, OC["tongue"]][:, 0]
+    cot_rgb = ct[OC["color"], :]                      # [3, PIX]
+    cot_tng = ct[OC["tongue"], :]
 
-    ec = pk[:, OC["coord"]]                           # already divided
-    cot_ec = ct[:, OC["coord"]]
-    cot_Ac = jnp.where(anyc[:, None], cot_ec / safe_W[:, None], 0.0)
-    cot_W = cot_W - jnp.where(anyc, jnp.sum(cot_ec * ec, axis=1) / safe_W, 0.0)
+    ec = pk[OC["coord"], :]                           # already divided
+    cot_ec = ct[OC["coord"], :]
+    cot_Ac = jnp.where(anyc, cot_ec / safe_W, 0.0)
+    cot_W = cot_W - jnp.where(anyc, jnp.sum(cot_ec * ec, axis=0, keepdims=True) / safe_W, 0.0)
 
-    ed = pk[:, OC["depth"]][:, 0]
-    cot_ed = ct[:, OC["depth"]][:, 0]
-    cot_Ad = jnp.where(anyc, cot_ed / (ln * safe_W), 0.0)
+    ln_row = ln.reshape(1, PIX)
+    ed = pk[OC["depth"], :]
+    cot_ed = ct[OC["depth"], :]
+    cot_Ad = jnp.where(anyc, cot_ed / (ln_row * safe_W), 0.0)
     cot_W = cot_W - jnp.where(anyc, cot_ed * ed / safe_W, 0.0)
 
-    cot_mt = jnp.where(anyc, ct[:, OC["mdepth"]][:, 0] / ln, 0.0)
-    cot_mc = jnp.where(anyc[:, None], ct[:, OC["mcoord"]], 0.0)
+    cot_mt = jnp.where(anyc, ct[OC["mdepth"], :] / ln_row, 0.0)
+    cot_mc = jnp.where(anyc, ct[OC["mcoord"], :], 0.0)
 
-    nrm = pk[:, OC["normal"]]
-    nlen = pk[:, OC["normal_len"]][:, 0]
-    cot_nrm = ct[:, OC["normal"]]
+    nrm = pk[OC["normal"], :]
+    nlen = pk[OC["normal_len"], :]
+    cot_nrm = ct[OC["normal"], :]
     inv_len = jnp.where(anyc, 1.0 / jnp.maximum(nlen, NORMALIZE_EPS), 0.0)
-    ndot = jnp.sum(nrm * cot_nrm, axis=1)
+    ndot = jnp.sum(nrm * cot_nrm, axis=0, keepdims=True)
     degen = nlen * nlen < 1e-30
     cot_An = jnp.where(
-        degen[:, None],
-        cot_nrm * jnp.where(anyc, 1.0 / NORMALIZE_EPS, 0.0)[:, None],
-        (cot_nrm - nrm * ndot[:, None]) * inv_len[:, None])
+        degen,
+        cot_nrm * jnp.where(anyc, 1.0 / NORMALIZE_EPS, 0.0),
+        (cot_nrm - nrm * ndot) * inv_len)
 
-    # cotangent matrices for the three-matmul structure: G = B@M1^T + dx*(B@M2^T)
-    # + dy*(B@M3^T); and dB += w@M1 + (w dx)@M2 + (w dy)@M3. Built by pure
-    # concatenation along the payload column layout (Mosaic has no scatter):
+    # cotangent matrices for the three-matmul structure, stored transposed
+    # [F, PIX]: G = B@M1 + dx*(B@M2) + dy*(B@M3) contracting F, and
+    # dB += w@M1^T + (w dx)@M2^T + (w dy)@M3^T contracting PIX. Built by pure
+    # concatenation along the payload row layout (Mosaic has no scatter):
     # [0:2 mean2d][2:5 conic][5 opacity][6:9 rgb][9 tongue][10:13 vp]
     # [13:19 cp][19:21 rp][21 ts][22:25 normal][25 ones][pad]
     F = PAYLOAD_PAD
-    z1 = jnp.zeros((PIX, 1), jnp.float32)
+    z1 = jnp.zeros((1, PIX), jnp.float32)
 
     def build_m(rgb3, tng1, vp3, cp6, rp2, ts1, n3, ones1):
         return jnp.concatenate(
-            [jnp.zeros((PIX, 6), jnp.float32), rgb3, tng1, vp3, cp6, rp2,
-             ts1, n3, ones1, jnp.zeros((PIX, F - 26), jnp.float32)], axis=1)
+            [jnp.zeros((6, PIX), jnp.float32), rgb3, tng1, vp3, cp6, rp2,
+             ts1, n3, ones1, jnp.zeros((F - 26, PIX), jnp.float32)], axis=0)
 
-    zero3 = jnp.zeros((PIX, 3), jnp.float32)
-    zero6 = jnp.zeros((PIX, 6), jnp.float32)
-    zero2 = jnp.zeros((PIX, 2), jnp.float32)
-    ac0 = cot_Ac[:, 0:1]
-    ac1 = cot_Ac[:, 1:2]
-    ac2 = cot_Ac[:, 2:3]
-    ad1 = cot_Ad[:, None]
-    M1 = build_m(cot_rgb, cot_tng[:, None], cot_Ac, zero6, zero2, ad1,
-                 cot_An, cot_W[:, None])
-    cp_x = jnp.concatenate([ac0, z1, ac1, z1, ac2, z1], axis=1)
-    cp_y = jnp.concatenate([z1, ac0, z1, ac1, z1, ac2], axis=1)
-    M2 = build_m(zero3, z1, zero3, cp_x, jnp.concatenate([ad1, z1], 1), z1,
+    zero3 = jnp.zeros((3, PIX), jnp.float32)
+    zero6 = jnp.zeros((6, PIX), jnp.float32)
+    zero2 = jnp.zeros((2, PIX), jnp.float32)
+    ac0 = cot_Ac[0:1, :]
+    ac1 = cot_Ac[1:2, :]
+    ac2 = cot_Ac[2:3, :]
+    ad1 = cot_Ad
+    M1 = build_m(cot_rgb, cot_tng, cot_Ac, zero6, zero2, ad1,
+                 cot_An, cot_W)
+    cp_x = jnp.concatenate([ac0, z1, ac1, z1, ac2, z1], axis=0)
+    cp_y = jnp.concatenate([z1, ac0, z1, ac1, z1, ac2], axis=0)
+    M2 = build_m(zero3, z1, zero3, cp_x, jnp.concatenate([ad1, z1], 0), z1,
                  zero3, z1)
-    M3 = build_m(zero3, z1, zero3, cp_y, jnp.concatenate([z1, ad1], 1), z1,
+    M3 = build_m(zero3, z1, zero3, cp_y, jnp.concatenate([z1, ad1], 0), z1,
                  zero3, z1)
     # median cotangent matrices (routed to the selected splat only)
-    mc0 = cot_mc[:, 0:1]
-    mc1 = cot_mc[:, 1:2]
-    mc2 = cot_mc[:, 2:3]
-    mt1 = cot_mt[:, None]
+    mc0 = cot_mc[0:1, :]
+    mc1 = cot_mc[1:2, :]
+    mc2 = cot_mc[2:3, :]
+    mt1 = cot_mt
     N1 = build_m(zero3, z1, cot_mc, zero6, zero2, mt1, zero3, z1)
     N2 = build_m(zero3, z1, zero3,
-                 jnp.concatenate([mc0, z1, mc1, z1, mc2, z1], 1),
-                 jnp.concatenate([mt1, z1], 1), z1, zero3, z1)
+                 jnp.concatenate([mc0, z1, mc1, z1, mc2, z1], 0),
+                 jnp.concatenate([mt1, z1], 0), z1, zero3, z1)
     N3 = build_m(zero3, z1, zero3,
-                 jnp.concatenate([z1, mc0, z1, mc1, z1, mc2], 1),
-                 jnp.concatenate([z1, mt1], 1), z1, zero3, z1)
+                 jnp.concatenate([z1, mc0, z1, mc1, z1, mc2], 0),
+                 jnp.concatenate([z1, mt1], 0), z1, zero3, z1)
 
-    dims = (((1,), (1,)), ((), ()))  # contract feature axis: [C,F]x[PIX,F]->[C,PIX]
+    dims = (((1,), (0,)), ((), ()))  # contract feature axis: [C,F]x[F,PIX]->[C,PIX]
 
     state[0, :] = jnp.zeros((PIX,), jnp.float32)      # suffix carry S
     state[1, :] = jnp.zeros((PIX,), jnp.float32)      # med_done flag
@@ -478,13 +509,12 @@ def _backward_kernel(
             get_dma(jax.lax.rem(c - 1, 2), c - 1).start()
         get_dma(slot, c).wait()
         block = buf[slot]
-        dx, dy, power, alpha_raw, alpha, passes, a, (c0, c1, c2) = alphas_of(block, c)
+        dx, dy, e2, alpha_raw, alpha, passes, a, (c0e, c1e, c2e) = alphas_of(block, c)
         om = 1.0 - a
         t_carry = tchk[c].reshape(1, PIX)
-        cum_raw = _cumprod_sublane(om)
-        cum_excl = jnp.where(rowid >= 1, pltpu.roll(cum_raw, 1, axis=0), 1.0)
+        cum_raw = _cumprod_sublane(om, masks)
         p_incl = t_carry * cum_raw
-        p_excl = t_carry * cum_excl
+        p_excl = jnp.where(mask1, pltpu.roll(p_incl, 1, axis=0), t_carry)
         include = passes & (p_incl >= T_STOP)
         w = jnp.where(include, a * p_excl, 0.0)
 
@@ -511,7 +541,7 @@ def _backward_kernel(
 
         # alpha gradient: da = inc * (P_excl*G - S_after/(1-a) - cotT*Tfin/(1-a))
         u = w * G
-        pref = _cumsum_sublane(u)
+        pref = _cumsum_sublane(u, masks)
         total_u = pref[chunk - 1:chunk, :]
         s_after = state[0, :].reshape(1, PIX) + (total_u - pref)
         tfin_term = (cot_T * t_fin).reshape(1, PIX)
@@ -520,17 +550,22 @@ def _backward_kernel(
         state[0, :] = (state[0, :].reshape(1, PIX) + total_u).reshape(PIX)
 
         notcl = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
-        dpow = da * alpha * notcl
-        dop_pp = da * jnp.exp(power) * notcl
-        # accumulate per-pair rows: dB = w@M1 + (w dx)@M2 + (w dy)@M3 (+ median)
-        def acc(Wmat, M):  # [C,PIX] x [PIX,F] -> [C,F]
-            return jax.lax.dot_general(Wmat, M, (((1,), (0,)), ((), ())),
+        dpow = da * alpha * notcl   # dL/d(natural-log power)
+        dop_pp = da * e2 * notcl
+        # accumulate per-pair rows: dB = w@M1^T + (w dx)@M2^T + (w dy)@M3^T
+        def acc(Wmat, M):  # [C,PIX] x [F,PIX] -> [C,F]
+            return jax.lax.dot_general(Wmat, M, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
         dB = acc(w, M1) + acc(w * dx, M2) + acc(w * dy, M3)
         dB = dB + acc(sel, N1) + acc(sel * dx, N2) + acc(sel * dy, N3)
 
-        ddx = dpow * (-c0 * dx - c1 * dy) + w * G2 + sel * (H2)
-        ddy = dpow * (-c2 * dy - c1 * dx) + w * G3 + sel * (H3)
+        # -c0 = 2*ln2*c0e, -c1 = ln2*c1e (e-folded conic): fold the ln2 into
+        # one dpow rescale, the 2x into [C,1] columns
+        dpl = dpow * LN2
+        c0e2 = c0e * 2.0
+        c2e2 = c2e * 2.0
+        ddx = dpl * (c0e2 * dx + c1e * dy) + w * G2 + sel * (H2)
+        ddy = dpl * (c2e2 * dy + c1e * dx) + w * G3 + sel * (H3)
         dxy_x = jnp.sum(ddx, axis=1, keepdims=True)   # [C,1]
         dxy_y = jnp.sum(ddy, axis=1, keepdims=True)
         dc0 = jnp.sum(-0.5 * dx * dx * dpow, axis=1, keepdims=True)
@@ -580,9 +615,9 @@ def rasterize_pallas_backward(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, OUT_PAD, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, OUT_PAD, PIX), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -628,7 +663,7 @@ def rasterize_pallas_forward(
     interpret: bool = False,
     half_wh=None,
 ) -> jnp.ndarray:
-    """Run the forward kernel; returns packed [T, PIX, OUT_PAD] channels.
+    """Run the forward kernel; returns packed [T, OUT_PAD, PIX] channels.
 
     half_wh ([2] f32 array) overrides the ray-direction origin
     (u = (px - half_w)/focal): the tile-sharded path rasterizes an image
@@ -641,14 +676,14 @@ def rasterize_pallas_forward(
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, PIX, OUT_PAD), lambda t, *_: (t, 0, 0),
+            (1, OUT_PAD, PIX), lambda t, *_: (t, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, PAYLOAD_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((PIX, PAYLOAD_PAD), jnp.float32),
-            pltpu.VMEM((PIX, PAYLOAD_PAD), jnp.float32),
-            pltpu.VMEM((PIX, PAYLOAD_PAD), jnp.float32),
+            pltpu.VMEM((PAYLOAD_PAD, PIX), jnp.float32),
+            pltpu.VMEM((PAYLOAD_PAD, PIX), jnp.float32),
+            pltpu.VMEM((PAYLOAD_PAD, PIX), jnp.float32),
             pltpu.VMEM((8, PIX), jnp.float32),
             pltpu.VMEM((8, PIX), jnp.float32),
         ],
@@ -656,7 +691,7 @@ def rasterize_pallas_forward(
     return pl.pallas_call(
         functools.partial(_forward_kernel, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, OUT_PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_PAD, PIX), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100),
