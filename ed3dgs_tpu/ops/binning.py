@@ -46,6 +46,19 @@ def tile_grid(width: int, height: int) -> tuple:
     return ((width + TILE - 1) // TILE, (height + TILE - 1) // TILE)
 
 
+# Fused pair-slot scan kernel (ops/binning_scan.py) control: None disables
+# (pure-XLA scans), False uses the compiled kernel, True runs it in pallas
+# interpret mode. "auto" resolves per backend at trace time; tests flip
+# FUSED_SCAN to True to cover the kernel on CPU.
+FUSED_SCAN = "auto"
+
+
+def _fused_scan_mode():
+    if FUSED_SCAN != "auto":
+        return FUSED_SCAN
+    return False if jax.default_backend() in ("tpu", "axon") else None
+
+
 def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
                   pair_capacity: int) -> BinnedPairs:
     """Build the depth-ordered per-tile pair list.
@@ -77,7 +90,14 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
     sort_key = jnp.where(valid, depth, jnp.inf)
     order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
 
-    tiles_sorted = tiles_touched[order].astype(jnp.int32)
+    # ONE [N,5] row gather for tiles_touched + rects: a bare 1-D
+    # tiles_touched[order] is an element gather (~9ns/elem, 0.66 ms at 100k);
+    # row gathers from a small source run at ~1.4ns/row
+    stacked = jnp.concatenate(
+        [tiles_touched.astype(jnp.int32)[:, None],
+         rect_min.astype(jnp.int32), rect_max.astype(jnp.int32)], axis=1)
+    stacked_sorted = stacked[order]              # [N, 5]
+    tiles_sorted = stacked_sorted[:, 0]
     offsets = jnp.cumsum(tiles_sorted)          # inclusive scan, [N]
     total = offsets[-1]
     excl = offsets - tiles_sorted               # exclusive scan
@@ -87,41 +107,23 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
     # gather is ~18ms, dwarfing the tile kernel itself). Everything below is
     # scatters of O(N) elements + O(K) scans, which run at VPU/HBM speed.
 
-    # pair slot -> owning gaussian rank: scatter each gaussian's rank at its
-    # first pair slot, then a cumulative max fills the gaps (valid because
-    # ranks and start positions are strictly increasing).
-    starts = jnp.full((K,), -1, jnp.int32)
     gidx = jnp.arange(N, dtype=jnp.int32)
     pos = jnp.where(tiles_sorted > 0, excl, K)   # zero-tile gaussians dropped
     pos_end = jnp.where(tiles_sorted > 0, offsets, K)
-    starts = starts.at[pos].max(gidx, mode="drop")
-    rank_c = jnp.maximum(jax.lax.cummax(starts), 0)
-
-    # pair slot -> its gaussian's first slot (same monotone fill), giving the
-    # within-rect enumeration index k without the excl[rank_c] gather
-    sstart = jnp.zeros((K,), jnp.int32).at[pos].max(pos, mode="drop")
-    seg_start = jax.lax.cummax(sstart)
     p = jnp.arange(K, dtype=jnp.int32)
-    k = p - seg_start
-    in_range = p < total
 
     # pair slot -> tile rect, as a boxcar reconstruction: the rect fields are
     # packed into one non-negative int32 (rmin_x | rmin_y<<11 | rect_w<<22),
     # +packed is scattered at each gaussian's first slot and -packed one past
     # its last, so an inclusive cumsum telescopes to exactly the owning
     # gaussian's packed word at every slot (int32 adds are exact).
-    rmin = rect_min[order]                       # [N, 2] (N-sized gather: cheap)
-    rmax = rect_max[order]
+    rmin = stacked_sorted[:, 1:3]                # [N, 2] (from the one gather)
+    rmax = stacked_sorted[:, 3:5]
     rw_g = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)
     packed_g = rmin[:, 0] | (rmin[:, 1] << 11) | (rw_g << 22)
-    pk = jnp.zeros((K,), jnp.int32)
-    pk = pk.at[jnp.concatenate([pos, pos_end])].add(
+    pk_deltas = jnp.zeros((K,), jnp.int32)
+    pk_deltas = pk_deltas.at[jnp.concatenate([pos, pos_end])].add(
         jnp.concatenate([packed_g, -packed_g]), mode="drop")
-    pk = jnp.cumsum(pk)
-    rw = jnp.maximum((pk >> 22) & 0x1FF, 1)
-    ti = (pk & 0x7FF) + k % rw
-    tj = ((pk >> 11) & 0x7FF) + k // rw
-    tile_id = jnp.where(in_range, tj * grid_x + ti, num_tiles).astype(jnp.int32)
 
     # stable sort by tile id with ranks riding along, as ONE packed int32 key
     # (tile << rank_bits | rank): pairs are generated in depth order and the
@@ -130,15 +132,60 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
     # (rasterizer_impl.cu:70-111) for the same result. Single-operand sort is
     # ~2x cheaper than carrying a value lane.
     rank_bits = max(17, (N - 1).bit_length())
-    if num_tiles + 1 <= (1 << (31 - rank_bits)):
-        packed_key = (tile_id << rank_bits) | rank_c
+    single_key = num_tiles + 1 <= (1 << (31 - rank_bits))
+    seg_bits = num_tiles.bit_length()   # tiles/gaussian <= num_tiles < 2^b
+    fused = _fused_scan_mode()
+    if (single_key and fused is not None and K % 128 == 0
+            and rank_bits + seg_bits <= 31):
+        # Delta-encoded fused path: segments are CONTIGUOUS over [0, total),
+        # so every per-slot constant reconstructs from a cumsum of per-
+        # boundary deltas — one N-add scatter for the packed
+        # (rank << b | seg_start mod 2^b) word (v is monotone in the slot
+        # order, so the previous boundary value falls out of a cummax — no
+        # gather), and the existing 2N-add rect boxcar. The two cumsums +
+        # rect decode + key pack then run in ONE sequential Pallas pass
+        # (ops/binning_scan.py) instead of XLA's per-scan reduce-window +
+        # fix-up round trips (~1 ms per [1M] scan) and the two cummax-fill
+        # scatter-max passes (~0.85 ms each).
+        from .binning_scan import fused_bin_scans
+        mask_b = (1 << seg_bits) - 1
+        v = (gidx << seg_bits) | (pos & mask_b)
+        vv = jnp.where(tiles_sorted > 0, v, -1)
+        pv = jax.lax.cummax(vv)
+        prev_v = jnp.maximum(
+            jnp.concatenate([jnp.full((1,), -1, jnp.int32), pv[:-1]]), 0)
+        dv = jnp.zeros((K,), jnp.int32).at[pos].add(v - prev_v, mode="drop")
+        packed_key = fused_bin_scans(
+            dv, pk_deltas, total, grid_x=grid_x, num_tiles=num_tiles,
+            rank_bits=rank_bits, b=seg_bits, interpret=fused)
         key_sorted, perm = jax.lax.sort((packed_key, p), num_keys=1,
                                         is_stable=True)
         tile_sorted = key_sorted >> rank_bits
         rank_sorted = key_sorted & ((1 << rank_bits) - 1)
-    else:  # huge scenes: fall back to the multi-operand sort
-        tile_sorted, rank_sorted, perm = jax.lax.sort(
-            (tile_id, rank_c, p), num_keys=1, is_stable=True)
+    else:
+        # cummax-fill path: scatter each gaussian's rank / first slot at its
+        # first pair slot, then cumulative max fills the gaps (valid because
+        # ranks and start positions are strictly increasing)
+        starts = jnp.full((K,), -1, jnp.int32).at[pos].max(gidx, mode="drop")
+        sstart = jnp.zeros((K,), jnp.int32).at[pos].max(pos, mode="drop")
+        rank_c = jnp.maximum(jax.lax.cummax(starts), 0)
+        seg_start = jax.lax.cummax(sstart)
+        k = p - seg_start
+        pk = jnp.cumsum(pk_deltas)
+        rw = jnp.maximum((pk >> 22) & 0x1FF, 1)
+        ti = (pk & 0x7FF) + k % rw
+        tj = ((pk >> 11) & 0x7FF) + k // rw
+        tile_id = jnp.where(p < total, tj * grid_x + ti,
+                            num_tiles).astype(jnp.int32)
+        if single_key:
+            packed_key = (tile_id << rank_bits) | rank_c
+            key_sorted, perm = jax.lax.sort((packed_key, p), num_keys=1,
+                                            is_stable=True)
+            tile_sorted = key_sorted >> rank_bits
+            rank_sorted = key_sorted & ((1 << rank_bits) - 1)
+        else:  # huge scenes: fall back to the multi-operand sort
+            tile_sorted, rank_sorted, perm = jax.lax.sort(
+                (tile_id, rank_c, p), num_keys=1, is_stable=True)
 
     # per-tile ranges (identifyTileRanges equivalent): binary search with
     # num_tiles+1 needles instead of a K-element scatter-add (~18ms -> ~0)
