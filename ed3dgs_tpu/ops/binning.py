@@ -112,18 +112,9 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
     pos_end = jnp.where(tiles_sorted > 0, offsets, K)
     p = jnp.arange(K, dtype=jnp.int32)
 
-    # pair slot -> tile rect, as a boxcar reconstruction: the rect fields are
-    # packed into one non-negative int32 (rmin_x | rmin_y<<11 | rect_w<<22),
-    # +packed is scattered at each gaussian's first slot and -packed one past
-    # its last, so an inclusive cumsum telescopes to exactly the owning
-    # gaussian's packed word at every slot (int32 adds are exact).
     rmin = stacked_sorted[:, 1:3]                # [N, 2] (from the one gather)
     rmax = stacked_sorted[:, 3:5]
     rw_g = jnp.maximum(rmax[:, 0] - rmin[:, 0], 1)
-    packed_g = rmin[:, 0] | (rmin[:, 1] << 11) | (rw_g << 22)
-    pk_deltas = jnp.zeros((K,), jnp.int32)
-    pk_deltas = pk_deltas.at[jnp.concatenate([pos, pos_end])].add(
-        jnp.concatenate([packed_g, -packed_g]), mode="drop")
 
     # stable sort by tile id with ranks riding along, as ONE packed int32 key
     # (tile << rank_bits | rank): pairs are generated in depth order and the
@@ -136,7 +127,7 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
     seg_bits = num_tiles.bit_length()   # tiles/gaussian <= num_tiles < 2^b
     fused = _fused_scan_mode()
     if (single_key and fused is not None and K % 128 == 0
-            and rank_bits + seg_bits <= 31):
+            and rank_bits + max(seg_bits, 9) <= 31):
         # Delta-encoded fused path: segments are CONTIGUOUS over [0, total),
         # so every per-slot constant reconstructs from a cumsum of per-
         # boundary deltas — one N-add scatter for the packed
@@ -148,15 +139,33 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
         # fix-up round trips (~1 ms per [1M] scan) and the two cummax-fill
         # scatter-max passes (~0.85 ms each).
         from .binning_scan import fused_bin_scans
+        valid_t = tiles_sorted > 0
         mask_b = (1 << seg_bits) - 1
+
+        def prev_of(packed):
+            """Previous valid row's packed word (high bits = gidx, monotone:
+            the previous boundary value falls out of a cummax — no gather)."""
+            pv = jax.lax.cummax(jnp.where(valid_t, packed, -1))
+            return jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32), pv[:-1]])
+
         v = (gidx << seg_bits) | (pos & mask_b)
-        vv = jnp.where(tiles_sorted > 0, v, -1)
-        pv = jax.lax.cummax(vv)
-        prev_v = jnp.maximum(
-            jnp.concatenate([jnp.full((1,), -1, jnp.int32), pv[:-1]]), 0)
-        dv = jnp.zeros((K,), jnp.int32).at[pos].add(v - prev_v, mode="drop")
+        dv_vals = v - jnp.maximum(prev_of(v), 0)
+        dv = jnp.zeros((K,), jnp.int32).at[pos].add(dv_vals, mode="drop")
+
+        # rect word in 20-bit (tile_base << 9 | rect_w) form: the decode only
+        # needs the rect's first tile id and its width, so this stream also
+        # delta-encodes into one N-add scatter (vs the 2N-add +/- boxcar)
+        base_g = rmin[:, 1] * grid_x + rmin[:, 0]
+        pk20 = (base_g << 9) | rw_g
+        pb = prev_of((gidx << seg_bits) | base_g)
+        pw = prev_of((gidx << 9) | rw_g)
+        prev_pk = jnp.where(pb >= 0, (pb & mask_b) << 9, 0) | jnp.where(
+            pw >= 0, pw & 0x1FF, 0)
+        dpk = jnp.zeros((K,), jnp.int32).at[pos].add(pk20 - prev_pk,
+                                                     mode="drop")
         packed_key = fused_bin_scans(
-            dv, pk_deltas, total, grid_x=grid_x, num_tiles=num_tiles,
+            dv, dpk, total, grid_x=grid_x, num_tiles=num_tiles,
             rank_bits=rank_bits, b=seg_bits, interpret=fused)
         key_sorted, perm = jax.lax.sort((packed_key, p), num_keys=1,
                                         is_stable=True)
@@ -171,6 +180,15 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
         rank_c = jnp.maximum(jax.lax.cummax(starts), 0)
         seg_start = jax.lax.cummax(sstart)
         k = p - seg_start
+        # pair slot -> tile rect, as a boxcar reconstruction: the rect fields
+        # pack into one non-negative int32 (rmin_x | rmin_y<<11 | rect_w<<22);
+        # +packed is scattered at each gaussian's first slot and -packed one
+        # past its last, so an inclusive cumsum telescopes to exactly the
+        # owning gaussian's packed word at every slot (int32 adds are exact).
+        packed_g = rmin[:, 0] | (rmin[:, 1] << 11) | (rw_g << 22)
+        pk_deltas = jnp.zeros((K,), jnp.int32).at[
+            jnp.concatenate([pos, pos_end])].add(
+            jnp.concatenate([packed_g, -packed_g]), mode="drop")
         pk = jnp.cumsum(pk_deltas)
         rw = jnp.maximum((pk >> 22) & 0x1FF, 1)
         ti = (pk & 0x7FF) + k % rw

@@ -105,10 +105,10 @@ def _kernel(params_ref, dv_ref, dpk_ref, key_ref, carry,
     rank = v >> b
     k_enum = (p - v) & ((1 << b) - 1)
 
-    # decode the packed rect word (rmin_x | rmin_y<<11 | rect_w<<22) and the
+    # decode the packed rect word (tile_base << 9 | rect_w) and the
     # within-rect row-major enumeration. k/rw are tiny, so the f32 divide is
     # exact up to the rounding guard — Mosaic has no vector integer divide.
-    rw = jnp.maximum((pk >> 22) & 0x1FF, 1)
+    rw = jnp.maximum(pk & 0x1FF, 1)
     q = jnp.floor(k_enum.astype(jnp.float32) *
                   (1.0 / rw.astype(jnp.float32))).astype(jnp.int32)
     # guard f32 rounding at exact multiples: q*rw must satisfy
@@ -116,9 +116,7 @@ def _kernel(params_ref, dv_ref, dpk_ref, key_ref, carry,
     q = jnp.where(q * rw > k_enum, q - 1, q)
     q = jnp.where((q + 1) * rw <= k_enum, q + 1, q)
     r = k_enum - q * rw
-    ti = (pk & 0x7FF) + r
-    tj = ((pk >> 11) & 0x7FF) + q
-    tile_id = jnp.where(p < total, tj * grid_x + ti, num_tiles)
+    tile_id = jnp.where(p < total, (pk >> 9) + q * grid_x + r, num_tiles)
     key_ref[...] = (tile_id << rank_bits) | rank
 
 
