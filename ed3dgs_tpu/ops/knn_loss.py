@@ -13,9 +13,13 @@ This module restructures the math so the only data-dependent memory ops are
 two row-gathers from the SMALL [C, E] embedding table (measured 2.7 ms each
 at [2M,32] on v5e; small-source narrow gathers keep a row-major layout):
 
-  pass A (i-major, grid C/128 x K):   loss and the Sum_k s_ik (e_i - e_j)
+  pass A (i-major, grid C/256):   loss and the Sum_k s_ik (e_i - e_j)
       half of the gradient. Neighbor rows arrive pre-gathered k-major
-      [K, C, E]; weights/coef stream as [K, C, 1] / [C, 1] columns.
+      [K, C, E]; the kernel packs 128/E neighbors into the lane dim per
+      inner iteration so every VPU op runs on full [BA, 128] registers
+      (E=32 alone wastes 3/4 of the lanes — measured 3.2 -> ~1.3 ms), with
+      the per-neighbor reductions/broadcasts expressed as tiny one-hot
+      MXU matmuls (exact: each output sums exactly E addends).
   pass B (j-sorted CSR, block-sparse grid): the reverse-edge half
       -Sum_{q in seg j} s_q (e_i_q - e_j). Pair rows e_i arrive pre-gathered
       in CSR order; e_j is reconstructed IN-KERNEL from the segment-block's
@@ -24,6 +28,13 @@ at [2M,32] on v5e; small-source narrow gathers keep a row-major layout):
       no scatter exist at all. Per-pair static scalars (w_q, coef_q) are
       pre-sorted ONCE at cache-build time (the KNN graph refreshes only on
       the densify cadence, so the 2M-element sort+gathers amortize to ~0).
+      Every tensor in the kernel is EMBEDDING-MAJOR ([E, chunk] / [E, BLK]):
+      with E=32 in the lane dim both MXU matmuls drive only 32 of 128
+      output lanes (25% utilization); transposed, the narrow E dim streams
+      through the MXU's M rows (no quantization) and the wide chunk/BLK
+      dims fill the lanes — the same products in 4x fewer MXU cycles.
+      The gradient accumulator is therefore stored transposed [E, Cp] and
+      flipped back once per step (a 12.8 MB relayout, ~0.1 ms).
 
 Both halves accumulate per-gaussian gradients by revisiting the same output
 block across consecutive grid steps — deterministic by construction, unlike
@@ -57,8 +68,11 @@ class KnnGraph(NamedTuple):
     #                          block-indexes the suffix at a row offset.
     w2: jnp.ndarray          # [Cp, K] f32 weights (0 at dead/pad rows)
     coef: jnp.ndarray        # [Cp, 1] f32 per-row loss coefficient
-    wc_sorted: jnp.ndarray   # [Ps, 8] f32: lane0 = w_q, lane1 = coef_q,
-    #                          lane2 = segment id (f32), j-sorted pair order
+    wc_t: jnp.ndarray        # [8, Ps] f32: row0 = w_q, row1 = coef_q,
+    #                          row2 = segment id (f32), j-sorted pair order;
+    #                          stored strip-transposed so pass B reads
+    #                          w/coef/seg as [1, chunk] LANE rows (the
+    #                          kernel is embedding-major)
     blk_of: jnp.ndarray      # [G] s32 block-sparse schedule: segment block
     chpos: jnp.ndarray       # [G] s32 chunk index into the pair section
 
@@ -114,53 +128,89 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
     chpos = jnp.minimum(first_ch[blk_of] + j_in_b, Ps // chunk - 1)
 
     return KnnGraph(all_rows=all_rows, w2=w2, coef=coef_p,
-                    wc_sorted=wc_sorted, blk_of=blk_of, chpos=chpos)
+                    wc_t=wc_sorted.T, blk_of=blk_of, chpos=chpos)
 
 
 def _kernel_a(emb_ref, gj_ref, w_ref, coef_ref, de_ref, lp_ref, *, K: int):
+    """Lane-packed: G4 = 128//E neighbors per inner iteration so the hot
+    elementwise ops run on full [BA, G4*E] registers; per-neighbor sums and
+    broadcasts are one-hot MXU matmuls (exact — each output adds exactly E
+    one-hot-selected terms)."""
+    E = emb_ref.shape[1]
+    BA = emb_ref.shape[0]
+    G4 = max(1, 128 // E) if 128 % E == 0 else 1
+    G4 = min(G4, K)
+    W = G4 * E
     e = emb_ref[...]                                   # [BA, E]
     coef = coef_ref[...]                               # [BA, 1]
-    de = jnp.zeros_like(de_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    # S [W, G4]: lane -> its neighbor group;  F [W, E]: lane -> its channel
+    S = (lane // E == jax.lax.broadcasted_iota(jnp.int32, (1, G4), 1)
+         ).astype(jnp.float32)
+    F = (lane % E == jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
+         ).astype(jnp.float32)
+    e4 = jnp.concatenate([e] * G4, axis=1)             # [BA, W]
+    de4 = jnp.zeros((BA, W), jnp.float32)
     acc = jnp.float32(0.0)
-    for kk in range(K):                                # unrolled, VMEM-local
-        diff = e - gj_ref[kk].astype(jnp.float32)      # [BA, E]
-        d2 = jnp.sum(diff * diff, axis=1, keepdims=True)
-        wk = w_ref[:, kk:kk + 1]                       # [BA, 1]
-        v = jnp.sqrt(d2 * wk + _EPS)
-        acc += jnp.sum(coef * v)
-        de = de + (coef * wk / v) * diff
-    de_ref[...] = de
+    for k0 in range(0, K, G4):
+        ks = list(range(k0, min(k0 + G4, K)))
+        pad = G4 - len(ks)
+        gj4 = jnp.concatenate(
+            [gj_ref[kk].astype(jnp.float32) for kk in ks]
+            + [jnp.zeros((BA, E), jnp.float32)] * pad, axis=1)
+        wk4 = w_ref[:, k0:k0 + len(ks)]                # [BA, <=G4]
+        if pad:
+            wk4 = jnp.concatenate(
+                [wk4, jnp.zeros((BA, pad), jnp.float32)], axis=1)
+        kmask = (jax.lax.broadcasted_iota(jnp.int32, (1, G4), 1)
+                 < len(ks)).astype(jnp.float32)        # [1, G4]
+        diff = e4 - gj4                                # [BA, W]
+        d2 = jax.lax.dot_general((diff * diff), S, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        v = jnp.sqrt(d2 * wk4 + _EPS)                  # [BA, G4]
+        acc += jnp.sum(coef * v * kmask)
+        s4 = coef * wk4 / v * kmask                    # [BA, G4]
+        s_exp = jax.lax.dot_general(s4, S, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        de4 = de4 + s_exp * diff
+    de_ref[...] = jax.lax.dot_general(de4, F, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
     lp_ref[...] = jnp.full(lp_ref.shape, acc, jnp.float32)
 
 
-def _kernel_b(blk_s, chp_s, gi_ref, wc_ref, emb_ref, dj_ref, *, chunk: int):
+def _kernel_b(blk_s, chp_s, gi_ref, wct_ref, embt_ref, djt_ref, *,
+              chunk: int):
+    """Embedding-major: every tensor is [E, chunk] / [E, BLK] so the narrow
+    E dim rides the MXU's streaming M rows and the wide dims fill the 128
+    output lanes (4x fewer MXU cycles than the [chunk, E] orientation)."""
     g = pl.program_id(0)
     is_first = jnp.logical_or(
         g == 0, blk_s[jnp.maximum(g - 1, 0)] != blk_s[g])
 
     @pl.when(is_first)
     def _():
-        dj_ref[...] = jnp.zeros_like(dj_ref)
+        djt_ref[...] = jnp.zeros_like(djt_ref)
 
-    gi = gi_ref[...].astype(jnp.float32)               # [chunk, E]
-    # pair -> segment one-hot [chunk, 128] from the pair's stored segment id
-    # (wc lane 2); used with BOTH contraction dims: dim1 x dim0 reconstructs
-    # e_j per pair, dim0 x dim0 is the segment reduction of the pair grads.
-    seg = wc_ref[:, 2:3]                               # [chunk, 1] f32
     segbase = (blk_s[g] * _BLK).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _BLK), 1).astype(jnp.float32)
-    mt = (seg == segbase + lane).astype(jnp.float32)   # [chunk, 128]
-    ej = jax.lax.dot_general(mt, emb_ref[...], (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [chunk, E]
-    diff = gi - ej
-    d2 = jnp.sum(diff * diff, axis=1, keepdims=True)
-    w = wc_ref[:, 0:1]
-    coef = wc_ref[:, 1:2]
+    # pair -> segment one-hot [BLK, chunk] from the transposed segment-id
+    # strip; used with both contraction dims (dim0 reconstructs e_j, dim1 is
+    # the segment reduction of the pair grads) so only ONE build is needed.
+    seg_row = wct_ref[2:3, :]                          # [1, chunk] f32
+    sub = jax.lax.broadcasted_iota(
+        jnp.int32, (_BLK, 1), 0).astype(jnp.float32)
+    mtt = (seg_row == segbase + sub).astype(jnp.float32)    # [BLK, chunk]
+    git = gi_ref[...].astype(jnp.float32).T            # [E, chunk]
+    ejt = jax.lax.dot_general(embt_ref[...], mtt, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    difft = git - ejt                                  # [E, chunk]
+    d2 = jnp.sum(difft * difft, axis=0, keepdims=True)  # [1, chunk]
+    w = wct_ref[0:1, :]
+    coef = wct_ref[1:2, :]
     v = jnp.sqrt(d2 * w + _EPS)
-    s = coef * w / v
-    dj_ref[...] += jax.lax.dot_general(
-        mt, -s * diff, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [128, E]
+    s = coef * w / v                                   # [1, chunk]
+    djt_ref[...] += jax.lax.dot_general(
+        -s * difft, mtt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [E, BLK]
 
 
 def _run(emb: jnp.ndarray, graph: KnnGraph, chunk: int, interpret: bool,
@@ -206,26 +256,27 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, chunk: int, interpret: bool,
     )(emb_p, gall3, graph.w2, graph.coef)
 
     pair0 = (K * Cp) // chunk                          # pair-section offset
+    emb_t = emb_p.T                                    # [E, Cp] once per step
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
             pl.BlockSpec((chunk, E),
                          lambda g, blk, chp: (pair0 + chp[g], 0)),
-            pl.BlockSpec((chunk, 8), lambda g, blk, chp: (chp[g], 0)),
-            pl.BlockSpec((_BLK, E), lambda g, blk, chp: (blk[g], 0)),
+            pl.BlockSpec((8, chunk), lambda g, blk, chp: (0, chp[g])),
+            pl.BlockSpec((E, _BLK), lambda g, blk, chp: (0, blk[g])),
         ],
-        out_specs=pl.BlockSpec((_BLK, E), lambda g, blk, chp: (blk[g], 0)),
+        out_specs=pl.BlockSpec((E, _BLK), lambda g, blk, chp: (0, blk[g])),
     )
-    dj = pl.pallas_call(
+    djt = pl.pallas_call(
         functools.partial(_kernel_b, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Cp, E), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((E, Cp), jnp.float32),
         interpret=interpret,
-    )(graph.blk_of, graph.chpos, gall, graph.wc_sorted, emb_p)
+    )(graph.blk_of, graph.chpos, gall, graph.wc_t, emb_t)
 
     loss = jnp.sum(lp[:, 0, 0])
-    return loss, (de + dj)[:C]
+    return loss, (de + djt.T)[:C]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -85,20 +85,21 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     weight/coef pre-gathers, block-sparse schedule) so the per-step loss is
     the two fused kernels of ops/knn_loss.py."""
     def _pin_row_major(graph: knn_loss.KnnGraph) -> knn_loss.KnnGraph:
-        # XLA gives the prepare computation's wc_sorted output a column-major
-        # {0,1} layout; the train step wants row-major for the pass-B kernel
-        # and inserts a [2M, 8] relayout copy EVERY step (profiled 1.85 ms).
-        # Pin it once here (cache refreshes only on the densify cadence).
+        # The pass-B kernel streams [8, chunk] blocks of the transposed
+        # weight/coef/seg strip, so wc_t must keep its natural row-major
+        # {1,0} layout (Ps minor). XLA's layout assigner can flip narrow
+        # arrays produced by the prepare computation and insert a [8, 2M]
+        # relayout copy EVERY step (the untransposed variant profiled at
+        # 1.85 ms/step in round 2) — pin it once here (the cache refreshes
+        # only on the densify cadence).
         if jax.default_backend() not in ("tpu", "axon"):
             return graph
         try:
             from jax.experimental.layout import Format, Layout
-            # jax Layout is MAJOR_to_minor: row-major for [Ps, 8] is (0, 1)
-            # (XLA minor_to_major {1,0}); narrow arrays default to (1, 0)
+            # jax Layout is MAJOR_to_minor: row-major for [8, Ps] is (0, 1)
             fmt = Format(Layout((0, 1)),
                          jax.sharding.SingleDeviceSharding(jax.devices()[0]))
-            return graph._replace(
-                wc_sorted=jax.device_put(graph.wc_sorted, fmt))
+            return graph._replace(wc_t=jax.device_put(graph.wc_t, fmt))
         except Exception:  # layout API unavailable: keep the per-step copy
             return graph
 
