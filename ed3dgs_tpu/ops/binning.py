@@ -48,14 +48,18 @@ def tile_grid(width: int, height: int) -> tuple:
 
 # Fused pair-slot scan kernel (ops/binning_scan.py) control: None disables
 # (pure-XLA scans), False uses the compiled kernel, True runs it in pallas
-# interpret mode. "auto" resolves per backend at trace time; tests flip
-# FUSED_SCAN to True to cover the kernel on CPU.
+# interpret mode. "auto" resolves per backend at TRACE time via
+# jax.default_backend(); under explicit device placement pass fused_scan=
+# to bin_rows instead (a jitted caller that flips the module global after
+# its first trace keeps the cached trace — same contract as
+# RasterConfig.backend, which is also resolved at trace time).
 FUSED_SCAN = "auto"
 
 
-def _fused_scan_mode():
-    if FUSED_SCAN != "auto":
-        return FUSED_SCAN
+def _fused_scan_mode(override="global"):
+    mode = FUSED_SCAN if override == "global" else override
+    if mode != "auto":
+        return mode
     return False if jax.default_backend() in ("tpu", "axon") else None
 
 
@@ -74,7 +78,8 @@ def bin_gaussians(proj: ProjectedGaussians, *, width: int, height: int,
 
 
 def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
-             grid_x: int, grid_y: int, pair_capacity: int) -> BinnedPairs:
+             grid_x: int, grid_y: int, pair_capacity: int,
+             fused_scan="global") -> BinnedPairs:
     """bin_gaussians over bare per-splat arrays and an explicit tile grid.
 
     The tile-sharded distributed path (parallel/tile_sharded.py) calls this
@@ -125,7 +130,7 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
     rank_bits = max(17, (N - 1).bit_length())
     single_key = num_tiles + 1 <= (1 << (31 - rank_bits))
     seg_bits = num_tiles.bit_length()   # tiles/gaussian <= num_tiles < 2^b
-    fused = _fused_scan_mode()
+    fused = _fused_scan_mode(fused_scan)
     if (single_key and fused is not None and K % 128 == 0
             and rank_bits + max(seg_bits, 9) <= 31):
         # Delta-encoded fused path: segments are CONTIGUOUS over [0, total),

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = -(2 ** 31)  # python int: a jnp scalar here would be a captured constant
 
 
 def _lane_masks(shape):

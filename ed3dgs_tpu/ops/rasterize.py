@@ -81,19 +81,42 @@ def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
     )
 
 
-# ---- the pallas tile pass as a custom-vjp unit --------------------------
-# Differentiable in the pair payload only; binning indices and the gather are
-# plain jnp upstream (the gather's transpose gives the deterministic
-# per-gaussian scatter-add that replaces the reference's atomics).
+# ---- pair expansion + pallas tile pass as ONE custom-vjp unit -----------
+# Forward: a 26-lane row gather (gather cost scales with logical width:
+# [2M,32] 2.8ms vs [2M,128] 8.0ms on v5e), ONE pad to the kernel's
+# [K+chunk, 128] shape, then the tile kernel. Differentiable in the pair
+# payload only; binning indices are plain jnp upstream.
+#
+# Backward: the backward kernel writes only each tile's LIVE chunks (pass A
+# records the saturation point); every other row — saturation-dead chunks,
+# capacity slack, sentinel padding — is uninitialized memory whose true
+# gradient is exactly zero. XLA would need (a) a full-array select to zero
+# those rows and (b) a row scatter-add (~14ns/row; [1M,26] ~ 14ms) to
+# accumulate per-gaussian gradients. Instead: un-permute the cotangent rows
+# to pre-sort order (where each gaussian's pairs are contiguous) with a
+# permute-gather whose index vector REDIRECTS dead rows to a zeroed slack
+# row — the liveness mask rides the sort's value column for free, deleting
+# the 537 MB masking select (profiled 1.64 ms/step) — then reduce with the
+# deterministic CSR segment-sum kernel. Fusing expansion and tile pass into
+# one vjp unit is what lets the liveness information (a kernel output) reach
+# the permute; as separate units only the cotangent could flow between them.
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _packed_tiles(pair_payload, tile_start, tile_count, half_wh, meta):
-    return _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh,
-                              meta)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _expand_raster(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
+                   tile_start, tile_count, meta, half_wh):
+    pair_payload = _expand_impl(payload_sorted, pair_gauss, meta)
+    return _tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta)
 
 
-def _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta):
-    (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
+def _expand_impl(payload_sorted, pair_gauss, meta):
+    chunk = meta[0]
+    rows = payload_sorted[pair_gauss]
+    return jnp.pad(rows, ((0, chunk), (0, PAYLOAD_PAD - rows.shape[1])))
+
+
+def _tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta):
+    (chunk, _, num_tiles, grid_x, width, height, focal_x, focal_y,
+     interpret) = meta
     return rp.rasterize_pallas_forward(
         pair_payload, tile_start, tile_count,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
@@ -101,29 +124,33 @@ def _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta):
         half_wh=half_wh)
 
 
-def _packed_tiles_fwd(pair_payload, tile_start, tile_count, half_wh, meta):
-    packed = _packed_tiles_impl(pair_payload, tile_start, tile_count, half_wh,
-                                meta)
-    return packed, (pair_payload, tile_start, tile_count, half_wh, packed)
+def _expand_raster_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
+                       tile_start, tile_count, meta, half_wh):
+    pair_payload = _expand_impl(payload_sorted, pair_gauss, meta)
+    packed = _tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta)
+    return packed, (pair_payload, perm, seg_starts, seg_ends, tile_start,
+                    tile_count, half_wh, packed)
 
 
-def _packed_tiles_bwd(meta, res, cot):
-    (num_tiles, grid_x, width, height, focal_x, focal_y, chunk, interpret) = meta
-    pair_payload, tile_start, tile_count, half_wh, packed = res
+def _expand_raster_bwd(meta, res, cot):
+    (chunk, F, num_tiles, grid_x, width, height, focal_x, focal_y,
+     interpret) = meta
+    (pair_payload, perm, seg_starts, seg_ends, tile_start, tile_count,
+     half_wh, packed) = res
     dpay, clive = rp.rasterize_pallas_backward(
         pair_payload, tile_start, tile_count, packed, cot,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret,
         half_wh=half_wh)
-    # The kernel writes only each tile's live chunks; every other row
-    # (saturation-dead chunks, sentinel padding) is uninitialized memory with
-    # an exactly-zero true gradient — mask it here. The per-row live limit is
-    # reconstructed boxcar-style (scatter +limit at each tile's first row,
-    # -limit at the next tile's first row, cumsum) — NO K-element gathers,
-    # which cost ~9ns/element on TPU. The barrier keeps XLA from folding the
-    # row iota through the mask.
-    K = dpay.shape[0]
-    row = jax.lax.optimization_barrier(jnp.arange(K, dtype=jnp.int32))
+    K = perm.shape[0]
+    # zero ONE chunk of slack rows (rows K..K+chunk of the kernel output);
+    # they are the redirect target for every dead row below
+    dpay = jax.lax.dynamic_update_slice(
+        dpay, jnp.zeros((chunk, dpay.shape[1]), dpay.dtype), (K, 0))
+    # per-row live limit, boxcar-style (scatter +limit at each tile's first
+    # row, -limit at the next tile's first row, cumsum) — NO K-element
+    # gathers, which cost ~9ns/element on TPU
+    row = jnp.arange(K, dtype=jnp.int32)
     limit = tile_start + clive[:num_tiles, 0] * chunk      # [T]
     nxt = jnp.concatenate([tile_start[1:],
                            jnp.full((1,), 1 << 30, jnp.int32)])
@@ -131,60 +158,26 @@ def _packed_tiles_bwd(meta, res, cot):
         jnp.concatenate([tile_start, jnp.minimum(nxt, K)])].add(
         jnp.concatenate([limit, -limit]), mode="drop")
     live = row < jnp.cumsum(lim_row)
-    dpay = jnp.where(live[:, None], dpay, 0.0)
-    return dpay, None, None, None
-
-
-_packed_tiles.defvjp(_packed_tiles_fwd, _packed_tiles_bwd)
-
-
-# ---- payload expansion (gather + kernel-shape pad) as a custom-vjp unit --
-# Forward: a 26-lane row gather (gather cost scales with logical width:
-# [2M,32] 2.8ms vs [2M,128] 8.0ms on v5e) + ONE pad to the kernel's
-# [K+chunk, 128] shape. Backward: XLA would emit a row scatter-add at
-# ~14ns/row ([1M,26] ~ 14ms); instead un-permute the cotangent rows to
-# pre-sort order, where each gaussian's pairs are contiguous, and reduce
-# with the deterministic CSR segment-sum kernel. Folding the pad into this
-# unit keeps the cotangent at the kernel's own [K+chunk, 128] shape end to
-# end: no lane re-pad, no row re-pad (physical HBM tiles are 128-lane padded
-# either way, so the wide forms cost the same bytes).
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _expand_pairs(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
-                  meta):
-    chunk, _ = meta
-    rows = payload_sorted[pair_gauss]
-    return jnp.pad(rows, ((0, chunk), (0, PAYLOAD_PAD - rows.shape[1])))
-
-
-def _expand_pairs_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
-                      meta):
-    out = _expand_pairs(payload_sorted, pair_gauss, perm, seg_starts,
-                        seg_ends, meta)
-    return out, (perm, seg_starts, seg_ends)
-
-
-def _expand_pairs_bwd(meta, res, g):
-    chunk, F = meta  # F: static width of the unpadded payload rows
-    perm, seg_starts, seg_ends = res
-    K = perm.shape[0]
-    iota = jnp.arange(K, dtype=jnp.int32)
-    # inverse permutation by a second sort (~1.1ms) — a 1M-element scatter
-    # costs ~4.6ns/element (~4.9ms) for the same result
-    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
-    # append SS_CHUNK slack rows (all pointing at a zero pad row of g) so the
+    # inverse permutation by a second sort (~1.1ms; a 1M-element scatter
+    # costs ~4.6ns/element for the same result). Dead rows' value column is
+    # one of the zeroed slack rows, so the permute-gather masks as it moves;
+    # the target is spread over all `chunk` slack rows — a single repeated
+    # target row serializes the gather engine (measured 4.8 -> 14 ms).
+    src = jnp.where(live, row, K + row % chunk)
+    _, inv = jax.lax.sort((perm, src), num_keys=1, is_stable=False)
+    # append SS_CHUNK slack rows (also pointing at zero row K) so the
     # segment-sum kernel's chunked DMA can over-read past the last segment
     # end without a separate full-array row-pad pass. The barrier stops XLA
     # from commuting layout changes through the gather (narrow column-major
     # permute-gathers lower to per-channel loops, 45-85ms).
     inv_ext = jnp.concatenate([inv, jnp.full((SS_CHUNK,), K, jnp.int32)])
-    g_pre = jax.lax.optimization_barrier(g)[inv_ext]   # pre-sort row order
+    g_pre = jax.lax.optimization_barrier(dpay)[inv_ext]   # pre-sort order
     d_payload = segment_sum_rows(g_pre, seg_starts, seg_ends, pad_rows=False,
                                  interpret=jax.default_backend() == "cpu")
-    return d_payload[:, :F], None, None, None, None
+    return (d_payload[:, :F], None, None, None, None, None, None, None)
 
 
-_expand_pairs.defvjp(_expand_pairs_fwd, _expand_pairs_bwd)
+_expand_raster.defvjp(_expand_raster_fwd, _expand_raster_bwd)
 
 
 def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> RasterOutputs:
@@ -205,18 +198,16 @@ def _pallas_forward_rows(payload, depth, valid, rect_min, rect_max,
                     grid_x=grid_x, grid_y=grid_y,
                     pair_capacity=cfg.pair_capacity)
     payload_sorted = payload[bins.order]
-    pair_payload = _expand_pairs(
-        payload_sorted, bins.pair_gauss, bins.pair_perm, bins.seg_starts,
-        bins.seg_ends, (cfg.chunk, payload.shape[-1]))  # [K+chunk, PAD]
     num_tiles = grid_x * grid_y
-    meta = (num_tiles, grid_x, cfg.width, cfg.height,
-            cfg.focal_x, cfg.focal_y, cfg.chunk, cfg.interpret)
+    meta = (cfg.chunk, payload.shape[-1], num_tiles, grid_x, cfg.width,
+            cfg.height, cfg.focal_x, cfg.focal_y, cfg.interpret)
     hw = cfg.width / 2.0 if half_w is None else half_w
     hh = cfg.height / 2.0 if half_h is None else half_h
     half_wh = jnp.stack([jnp.asarray(hw, jnp.float32),
                          jnp.asarray(hh, jnp.float32)])
-    packed = _packed_tiles(pair_payload, bins.tile_start, bins.tile_count,
-                           half_wh, meta)
+    packed = _expand_raster(
+        payload_sorted, bins.pair_gauss, bins.pair_perm, bins.seg_starts,
+        bins.seg_ends, bins.tile_start, bins.tile_count, meta, half_wh)
     out = _unpack_pallas(packed, bg, cfg, bins.grid)
     # the kernel caps each tile at chunk*512 pairs (fixed per-tile VMEM
     # budget); surface truncation instead of rendering silently wrong

@@ -70,3 +70,22 @@ def test_fused_scan_overflow_and_odd_capacity():
             np.testing.assert_array_equal(np.asarray(ref.pair_gauss),
                                           np.asarray(out.pair_gauss))
     assert int(ref.num_pairs) > 1024
+
+
+@pytest.mark.tpu
+def test_fused_scan_compiled_matches_xla_tpu():
+    """Compiled Mosaic path (incl. the SMEM carry across grid steps) vs the
+    pure-XLA scans on a real TPU — the interpret-mode tests above can't
+    cover the compiled lowering on CPU-only runners."""
+    rng = np.random.default_rng(7)
+    gx, gy, cap = 11, 9, 8192
+    args = _random_rows(rng, 1000, gx, gy)
+    ref = binning.bin_rows(*args, grid_x=gx, grid_y=gy, pair_capacity=cap,
+                           fused_scan=None)
+    fused = binning.bin_rows(*args, grid_x=gx, grid_y=gy, pair_capacity=cap,
+                             fused_scan=False)
+    for name in ("pair_gauss", "pair_tile", "pair_perm", "tile_start",
+                 "tile_count", "num_pairs"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, name)),
+                                      np.asarray(getattr(fused, name)),
+                                      err_msg=name)

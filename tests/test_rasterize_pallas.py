@@ -40,6 +40,13 @@ def project(cam, means, scales, quats, opac, rgb):
 
 
 def _parity(interpret, atol):
+    # Tolerances are loose-ish by design: the pallas kernels evaluate the
+    # Gaussian exponent as dx*(c0e*dx + c1e*dy) + c2e*dy*dy (an e-folded
+    # reassociation of the reference's -0.5*(c0*dx^2+c2*dy^2) - c1*dx*dy),
+    # so the passes mask (power2 <= 0) can flip for splats exactly on a
+    # pixel boundary vs the xla/reference backends. Forward and backward
+    # kernels use the identical expression, so gradients stay mutually
+    # consistent; do NOT tighten this into an exact-match assertion.
     w = h = 48
     fov = math.radians(60.0)
     cam = look_at_camera((0, 0, 0), (0, 0, 1), (0, -1, 0), fov, fov, w, h).matrices()
