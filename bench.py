@@ -107,11 +107,14 @@ def time_fn(f, fargs, iters=20):
 
 
 def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
-                pair_capacity=1 << 20, backend="pallas", chunk=128):
+                pair_capacity=1 << 20, backend="pallas", chunk=128,
+                batch_size=1, batch_mode="scan"):
     """One full jitted train step at the NerSemble steady-state shape:
     95k alive / 100k capacity, 802x550, SH3, deformation net 128x1, batch 1,
     every loss active (L1, opacity-mean, embedding-KNN, temporal-TV,
-    depth-normal), Adam update, densification stats."""
+    depth-normal), Adam update, densification stats. batch_size/batch_mode
+    generalize the camera batch for the --scaling harness ("vmap" keeps B a
+    real batch axis the sharded path partitions over the "data" mesh axis)."""
     import jax
     import jax.numpy as jnp
 
@@ -139,35 +142,38 @@ def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
                         focal_y=cam.focal_y, pair_capacity=pair_capacity,
                         max_per_tile=2048, chunk=chunk, backend=backend)
     state, optimizer = init_train_state(params, hidden, opt_cfg, 1.0)
-    setup = TrainSetup(raster=rcfg, hidden=hidden, batch_size=1,
+    setup = TrainSetup(raster=rcfg, hidden=hidden, batch_size=batch_size,
                        kernel_size=0.1, disable_filter3d=True,
-                       radegs_from_iter=0, coef_tv_temporal=1.0)
+                       radegs_from_iter=0, coef_tv_temporal=1.0,
+                       batch_mode=batch_mode)
     raw_step = make_train_step(setup, opt_cfg, optimizer, jit=False)
-    gt = rng.uniform(0, 1, (1, 3, h, w)).astype(np.float32)
+    B = batch_size
+    gt = rng.uniform(0, 1, (B, 3, h, w)).astype(np.float32)
     batch = {
         "gt_image": jnp.asarray(gt),
-        "viewmatrix": jnp.asarray(cam.world_view)[None],
-        "projmatrix": jnp.asarray(cam.full_proj)[None],
-        "campos": jnp.asarray(cam.campos)[None],
-        "time": jnp.asarray([0.4], jnp.float32),
-        "cam_no": jnp.asarray([0], jnp.int32),
+        "viewmatrix": jnp.tile(jnp.asarray(cam.world_view)[None], (B, 1, 1)),
+        "projmatrix": jnp.tile(jnp.asarray(cam.full_proj)[None], (B, 1, 1)),
+        "campos": jnp.tile(jnp.asarray(cam.campos)[None], (B, 1)),
+        "time": jnp.linspace(0.3, 0.6, B, dtype=jnp.float32),
+        "cam_no": jnp.arange(B, dtype=jnp.int32),
         "use_ssim": jnp.asarray(False),
     }
     knn_cache = update_knn_cache(params, aux)
     return raw_step, state, aux, batch, knn_cache
 
 
-def time_train(raw_step, state, aux, batch, knn_cache, iters=12):
+def time_train(raw_step, state, aux, batch, knn_cache, iters=12,
+               shardings=None):
     """Same chained-slope methodology as time_fn: carry the real TrainState
     through a fori_loop of input-perturbed steps, difference two chain
     lengths (defeats the tunnel's execution cache + dispatch overhead).
     The trip count is a TRACED argument so both chain lengths share one
-    compile of the (large) train-step program."""
+    compile of the (large) train-step program. `shardings` (st_sh, aux_sh,
+    gt_sh) jits the chain onto a mesh for the --scaling harness."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(state, aux, gt0, n):
+    def run_fn(state, aux, gt0, n):
         def it(i, carry):
             st, ax = carry
             b = dict(batch)
@@ -175,6 +181,13 @@ def time_train(raw_step, state, aux, batch, knn_cache, iters=12):
             st, ax, _m = raw_step(st, ax, b, knn_cache)
             return (st, ax)
         return jax.lax.fori_loop(0, n, it, (state, aux))
+
+    if shardings is None:
+        run = jax.jit(run_fn)
+    else:
+        st_sh, aux_sh, gt_sh = shardings
+        run = jax.jit(run_fn, in_shardings=(st_sh, aux_sh, gt_sh, None),
+                      out_shardings=(st_sh, aux_sh))
 
     lo, hi = max(2, iters // 4), iters
     gt0 = batch["gt_image"]
@@ -192,7 +205,87 @@ def time_train(raw_step, state, aux, batch, knn_cache, iters=12):
     return float((min(ths) - min(tls)) / (hi - lo))
 
 
+def run_scaling(mesh_spec: str):
+    """`bench.py --scaling [data=D,gauss=G|auto]` — the BASELINE.json
+    scaling metric as ONE command: train-step pixels/s at 1 device and at
+    the full mesh, plus the efficiency ratio pixN / (N * pix1). Runs the
+    real sharded train step (parallel/sharded.py) with the same
+    chained-perturbation slope timing as the per-chip bench. On a CPU host
+    (harness validation; set XLA_FLAGS=--xla_force_host_platform_device_count=N)
+    a small workload is used; on TPU the production NerSemble shape."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # this environment's sitecustomize force-sets jax_platforms at
+        # interpreter start (env vars alone are ignored) — same override
+        # dance as tests/conftest.py
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            from jax._src import xla_bridge as _xb
+            if _xb.backends_are_initialized():
+                from jax.extend.backend import clear_backends
+                clear_backends()
+        except Exception:
+            pass
+
+    from ed3dgs_tpu.parallel import make_mesh
+    from ed3dgs_tpu.parallel.sharded import (aux_shardings, batch_shardings,
+                                             shard_batch, shard_knn_cache,
+                                             shard_train_state,
+                                             state_shardings)
+
+    if mesh_spec in ("", "auto"):
+        n = len(jax.devices())
+        spec = {"data": 1, "gauss": n}
+    else:
+        spec = {k: int(v) for k, v in
+                (kv.split("=") for kv in mesh_spec.split(","))}
+    mesh = make_mesh(**spec)
+    N = mesh.size
+    D = mesh.shape["data"]
+    B = max(D, 1)
+
+    on_accel = jax.default_backend() in ("tpu", "axon")
+    if on_accel:
+        shape = dict(w=802, h=550)
+    else:
+        shape = dict(n_alive=3000, cap=4096, w=160, h=96,
+                     pair_capacity=1 << 15, backend="xla")
+    w, h = shape.get("w", 802), shape.get("h", 550)
+    iters = 12 if on_accel else 6
+
+    r1 = build_train(batch_size=1, **shape)
+    t1 = time_train(*r1, iters=iters)
+    pix1 = w * h / t1
+
+    raw_step, state, aux, batch, knn = build_train(
+        batch_size=B, batch_mode="vmap", **shape)
+    st_sh = state_shardings(mesh, state)
+    aux_sh = aux_shardings(mesh, aux)
+    gt_sh = batch_shardings(mesh, batch)["gt_image"]
+    state_s, aux_s = shard_train_state(mesh, state, aux)
+    batch_s = shard_batch(mesh, batch)
+    knn_s = shard_knn_cache(mesh, knn)
+    tN = time_train(raw_step, state_s, aux_s, batch_s, knn_s, iters=iters,
+                    shardings=(st_sh, aux_sh, gt_sh))
+    pixN = B * w * h / tN
+
+    print(json.dumps({
+        "metric": "train_scaling",
+        "mesh": f"data={spec.get('data', 1)},gauss={spec.get('gauss', 1)}",
+        "n_devices": N,
+        "pixels_per_s_1": round(pix1, 1),
+        "pixels_per_s_N": round(pixN, 1),
+        "efficiency": round(pixN / (N * pix1), 4),
+        "unit": "pixels/s",
+    }))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        return run_scaling(sys.argv[2] if len(sys.argv) > 2 else "auto")
     forward, w, h = build()
     f_pal, fargs = forward("pallas")
     t_pal = time_fn(f_pal, fargs)

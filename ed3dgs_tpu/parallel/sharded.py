@@ -67,8 +67,12 @@ def aux_shardings(mesh: Mesh, aux: GaussianAux):
 
 
 def batch_shardings(mesh: Mesh, batch):
+    # pcd_* carry the (replicated) GT cloud for the last GLOBAL batch
+    # entry's frame — not per-camera data, so never sharded over "data"
+    replicated_keys = ("use_ssim", "pcd_points", "pcd_valid")
+
     def spec(k, leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and k != "use_ssim":
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and k not in replicated_keys:
             return NamedSharding(mesh, P("data"))
         return NamedSharding(mesh, P())
     return {k: spec(k, v) for k, v in batch.items()}

@@ -44,9 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_iterations", type=int, nargs="+", default=[])
     p.add_argument("--start_checkpoint", default=None,
                    help="resume from a chkpnt<N>.npz (params + Adam state)")
-    p.add_argument("--test_every", type=int, default=0,
+    p.add_argument("--test_every", type=int, default=2000,
                    help="render a held-out test camera every N iterations and "
-                        "log test/psnr (reference train.py:378-389)")
+                        "log test/psnr (reference train.py:378-389 evaluates "
+                        "at fixed test_iterations by default); 0 disables")
     p.add_argument("--no_tensorboard", action="store_true",
                    help="disable tfevents logging (reference train.py:488-493)")
     p.add_argument("--profile", type=int, default=0, metavar="N",
@@ -122,7 +123,13 @@ class PcdSupervisionLoader:
         return pts
 
 
-def stage_batch(cams, maxtime, use_ssim, tongue_enabled, pcd_loader=None):
+def stage_batch(cams, maxtime, use_ssim, tongue_enabled, pcd_loader=None,
+                pcd_frame_no=None):
+    """pcd_frame_no: frame of the GLOBAL batch's last camera. Under
+    multi-host meshes `cams` is the host-local slice, but the pcd loss
+    applies to the last entry of the global batch — every host stages the
+    same (replicated) cloud because the sampler is identically seeded and
+    the dataset is on every host's disk."""
     import jax.numpy as jnp
 
     mats = [c.matrices() for c in cams]
@@ -147,7 +154,8 @@ def stage_batch(cams, maxtime, use_ssim, tongue_enabled, pcd_loader=None):
     if tongue_enabled:
         batch["tongue_gt"] = jnp.asarray(np.stack(tongues))
     if pcd_loader is not None:
-        pts, valid = pcd_loader.sample(cams[-1].frame_no)
+        frame = cams[-1].frame_no if pcd_frame_no is None else pcd_frame_no
+        pts, valid = pcd_loader.sample(frame)
         batch["pcd_points"] = jnp.asarray(pts)
         batch["pcd_valid"] = jnp.asarray(valid)
     return batch
@@ -376,14 +384,14 @@ def run_training(cfg, args):
 
     pcd_loader = (PcdSupervisionLoader(model, seed=args.seed)
                   if model.colmap_supervision_enabled else None)
-    if pcd_loader is not None and mesh is not None and jax.process_count() > 1:
-        raise SystemExit("colmap_supervision is not supported with multi-host "
-                         "meshes yet (per-frame GT cloud staging is "
-                         "host-local)")
 
     def stage(cams, use_ssim):
+        # pcd supervision keys to the GLOBAL batch's last camera; every
+        # host stages the same replicated cloud (identically-seeded
+        # samplers), so multi-host needs no extra communication
         b = stage_batch(local_slice(cams), maxtime, use_ssim,
-                        model.tongue_mask_loss_enabled, pcd_loader)
+                        model.tongue_mask_loss_enabled, pcd_loader,
+                        pcd_frame_no=cams[-1].frame_no)
         if mesh is None:
             return b
         if jax.process_count() > 1:

@@ -36,7 +36,7 @@ def main():
     jax.block_until_ready(m["loss"])
 
     jax.profiler.start_trace(out)
-    for _ in range(8):
+    for _ in range(4):
         state, aux, m = step(state, aux, batch, knn_cache)
     jax.block_until_ready(m["loss"])
     jax.profiler.stop_trace()
@@ -63,7 +63,7 @@ def main():
         name = e.get("name", "?")
         tot[name] += e.get("dur", 0.0)
         cnt[name] += 1
-    n_steps = 8
+    n_steps = 4
     rows = sorted(tot.items(), key=lambda kv: -kv[1])
     total_all = sum(tot.values())
     print(f"\ndevice total {total_all/1e3/n_steps:.2f} ms/step over {n_steps} steps")
