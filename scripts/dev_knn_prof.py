@@ -18,6 +18,7 @@ import numpy as np
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/knn_prof"
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     import jax
     import jax.numpy as jnp
 
@@ -40,13 +41,13 @@ def main():
     w = jnp.where(jnp.asarray(alive)[:, None],
                   jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
     coef = jnp.asarray(alive, jnp.float32) / max(n_alive * K, 1)
-    graph = knn_loss.prepare_knn_graph(idx, w, coef, chunk=1024)
+    graph = knn_loss.prepare_knn_graph(idx, w, coef, chunk=chunk)
     emb = jnp.asarray(rng.normal(0, 0.1, (C, E)).astype(np.float32))
 
     @jax.jit
     def f(e):
         return jax.value_and_grad(
-            lambda ee: knn_loss.knn_loss_fused(ee, graph, 1024, False))(e)
+            lambda ee: knn_loss.knn_loss_fused(ee, graph, chunk, False))(e)
 
     loss, g = f(emb)
     jax.block_until_ready(g)
