@@ -443,14 +443,14 @@ def rasterize_pallas_forward(
 
 def _backward_kernel(
     # scalar prefetch
-    tile_of_ref, c_of_ref, blk_ref, off_ref, phase_ref, tile_start_ref,
-    tile_count_ref, params_ref,
+    tile_of_ref, c_of_ref, blk_ref, off_ref, phase_ref, bslot_ref, bge2_ref,
+    bmeta_ref, tile_start_ref, tile_count_ref, params_ref,
     # tensor inputs
     pay1_ref, pay2_ref, packed_ref, cot_ref,
     # outputs
     dpay_hbm,
     # scratch
-    obuf, osem, tchk, state, mats, masks_s, rowid_s, smem,
+    obuf, osem, tchk, state, mats, masks_s, rowid_s,
     *, chunk: int, max_chunks: int, num_tiles: int,
 ):
     """Gradient of the tile forward pass w.r.t. the pair payload.
@@ -466,7 +466,11 @@ def _backward_kernel(
     GRAD_PAD = 128 lanes keeps the downstream un-permute off the narrow
     column-major slow path).
 
-    smem layout: [0] = pass-A alive flag, [1] = c_live, [2] = write count.
+    Cross-step sequencing carries NO scalar state: pass B's liveness test
+    reads the transmittance checkpoints pass A left in VMEM (dead chunks
+    get a copied-forward checkpoint below T_STOP), and the write-ring slot/
+    wait flags are prefetched schedule columns — an SMEM counter chain here
+    serializes the scalar core against the vector pipeline on every step.
     """
     # every step is real (dynamic grid bound == schedule total)
     g = pl.program_id(0)
@@ -488,7 +492,6 @@ def _backward_kernel(
     @pl.when(g == 0)
     def _():
         _build_invariants(masks_s, rowid_s, chunk)
-        smem[2] = 0
 
     pxf_col, pyf_col = _tile_pixels(t, params_ref)
     pxf = pxf_col.reshape(1, PIX)
@@ -504,24 +507,31 @@ def _backward_kernel(
     @pl.when(is_first)
     def _():
         tchk[0] = jnp.ones((PIX,), jnp.float32)
-        smem[0] = 1          # alive
-        smem[1] = 0          # c_live
 
-    @pl.when(~phase_b & (smem[0] > 0))
+    @pl.when(~phase_b)
     def _():
-        block = _window_block(pay1_ref, pay2_ref, off_ref[g], chunk)
-        _dx, _dy, _e2, _ar, _al, passes, a, _con = _alphas_of(
-            block, pxf, pyf, rowid, count - c * chunk)
-        om = 1.0 - a
-        t_carry = tchk[c].reshape(1, PIX)
-        cum_raw = _cumprod_sublane(om, masks_s)
-        p_incl = t_carry * cum_raw
-        include = passes & (p_incl >= T_STOP)
-        # masked-min form of the chunk-final transmittance (see forward)
-        new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
-        tchk[c + 1] = new_t
-        smem[1] = c + 1
-        smem[0] = (jnp.max(new_t) >= T_STOP).astype(jnp.int32)
+        t_carry_row = tchk[c]
+        active = jnp.max(t_carry_row) >= T_STOP
+
+        @pl.when(active)
+        def _():
+            block = _window_block(pay1_ref, pay2_ref, off_ref[g], chunk)
+            _dx, _dy, _e2, _ar, _al, passes, a, _con = _alphas_of(
+                block, pxf, pyf, rowid, count - c * chunk)
+            om = 1.0 - a
+            t_carry = t_carry_row.reshape(1, PIX)
+            cum_raw = _cumprod_sublane(om, masks_s)
+            p_incl = t_carry * cum_raw
+            include = passes & (p_incl >= T_STOP)
+            # masked-min form of the chunk-final transmittance (see forward)
+            new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
+            tchk[c + 1] = new_t
+
+        @pl.when(~active)
+        def _():
+            # copy the (saturated) checkpoint forward so pass B's liveness
+            # test — max(tchk[c]) >= T_STOP — reads initialized memory
+            tchk[c + 1] = t_carry_row
 
     # ---- pass B setup: un-finalize the output cotangents once per tile ----
     # (all [rows, PIX]; built into the `mats` scratch: rows [0:F) = M1,
@@ -618,7 +628,10 @@ def _backward_kernel(
     # ---- pass B: gradient rows, back-to-front -----------------------------
     @pl.when(phase_b)
     def _():
-        live = c < smem[1]
+        # chunk c was processed by pass A iff its entry checkpoint was
+        # unsaturated — the same condition pass A used
+        live = jnp.max(tchk[c]) >= T_STOP
+        slot = bslot_ref[g]
 
         @pl.when(live)
         def _():
@@ -700,51 +713,43 @@ def _backward_kernel(
             head = jnp.concatenate([dxy_x, dxy_y, dc0, dc1, dc2, dop], axis=1)
             dB = dB + jnp.concatenate(
                 [head, jnp.zeros((chunk, F - 6), jnp.float32)], axis=1)
-            obuf[jax.lax.rem(smem[2], 2)] = jnp.pad(
-                dB, ((0, 0), (0, GRAD_PAD - F)))
+            obuf[slot] = jnp.pad(dB, ((0, 0), (0, GRAD_PAD - F)))
 
         @pl.when(~live)
         def _():
-            obuf[jax.lax.rem(smem[2], 2)] = jnp.zeros(
-                (chunk, GRAD_PAD), jnp.float32)
+            obuf[slot] = jnp.zeros((chunk, GRAD_PAD), jnp.float32)
 
         # ordered 2-slot write ring: before reusing a slot, drain the write
-        # issued two steps ago on it (same semaphore + size, so the
-        # reconstructed descriptor waits on the right transfer)
-        nw = smem[2]
-        slot = jax.lax.rem(nw, 2)
-
-        @pl.when(nw >= 2)
+        # issued two B-steps ago on it (the wait matches on semaphore +
+        # size, so the descriptor's destination offset is immaterial)
+        @pl.when(bge2_ref[g] > 0)
         def _():
             pltpu.make_async_copy(
-                obuf.at[slot],
-                dpay_hbm.at[pl.ds(smem[4 + slot], chunk)],
+                obuf.at[slot], dpay_hbm.at[pl.ds(0, chunk)],
                 osem.at[slot]).wait()
 
         row0 = start + c * chunk
         pltpu.make_async_copy(
             obuf.at[slot], dpay_hbm.at[pl.ds(row0, chunk)],
             osem.at[slot]).start()
-        smem[4 + slot] = row0
-        smem[2] = nw + 1
 
     # drain the last (up to two) in-flight writes at the end of the grid
     @pl.when(g == pl.num_programs(0) - 1)
     def _():
-        nw = smem[2]
+        nb = bmeta_ref[0]
 
-        @pl.when(nw >= 1)
+        @pl.when(nb >= 1)
         def _():
-            s0 = jax.lax.rem(nw - 1, 2)
+            s0 = jax.lax.rem(nb - 1, 2)
             pltpu.make_async_copy(
-                obuf.at[s0], dpay_hbm.at[pl.ds(smem[4 + s0], chunk)],
+                obuf.at[s0], dpay_hbm.at[pl.ds(0, chunk)],
                 osem.at[s0]).wait()
 
-        @pl.when(nw >= 2)
+        @pl.when(nb >= 2)
         def _():
-            s1 = jax.lax.rem(nw, 2)
+            s1 = jax.lax.rem(nb, 2)
             pltpu.make_async_copy(
-                obuf.at[s1], dpay_hbm.at[pl.ds(smem[4 + s1], chunk)],
+                obuf.at[s1], dpay_hbm.at[pl.ds(0, chunk)],
                 osem.at[s1]).wait()
 
 
@@ -770,7 +775,15 @@ def _chunk_schedule_bwd(tile_start, tile_count, *, num_tiles, chunk,
         [tile_of, jnp.full((1,), num_tiles + 1, jnp.int32)])
     blk = jnp.where(real, tile_start[t] // chunk + c, 0)
     off = jnp.where(real, tile_start[t] % chunk, 0)
-    return tile_of_ext, c, blk, off, phase, total2
+    # write-ring sequencing, fully precomputed so the kernel carries NO
+    # cross-step scalar state (an SMEM counter chain serializes the scalar
+    # core against the vector pipeline every grid step)
+    bcum = jnp.cumsum(phase) - phase          # exclusive B-step count
+    bslot = jnp.where(real, bcum % 2, 0)
+    bge2 = jnp.where(real, (bcum >= 2).astype(jnp.int32), 0)
+    nb = jnp.sum(jnp.where(real, phase, 0))
+    bmeta = jnp.stack([nb]).astype(jnp.int32)
+    return tile_of_ext, c, blk, off, phase, bslot, bge2, bmeta, total2
 
 
 def rasterize_pallas_backward(
@@ -788,30 +801,33 @@ def rasterize_pallas_backward(
     K = pair_payload.shape[0] - chunk
     G2 = 2 * (num_tiles + K // chunk)
     params = _kernel_params(focal_x, focal_y, width, height, grid_x, half_wh)
-    tile_of, c_of, blk, off, phase, total2 = _chunk_schedule_bwd(
+    (tile_of, c_of, blk, off, phase, bslot, bge2, bmeta,
+     total2) = _chunk_schedule_bwd(
         tile_start, tile_count, num_tiles=num_tiles, chunk=chunk,
         max_chunks=max_chunks, G2=G2)
     W = pair_payload.shape[1]
     nsteps = _n_scan_steps(chunk)
     # dynamic grid bound (see rasterize_pallas_forward)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=11,
         grid=(total2,),
         in_specs=[
             pl.BlockSpec(
                 (chunk, W),
-                lambda g, tl, co, bk, of, ph, ts, tc, pr: (bk[g], 0)),
+                lambda g, tl, co, bk, of, ph, bs, b2, bm, ts, tc, pr: (
+                    bk[g], 0)),
             pl.BlockSpec(
                 (chunk, W),
-                lambda g, tl, co, bk, of, ph, ts, tc, pr: (bk[g] + 1, 0)),
+                lambda g, tl, co, bk, of, ph, bs, b2, bm, ts, tc, pr: (
+                    bk[g] + 1, 0)),
             pl.BlockSpec(
                 (1, OUT_PAD, PIX),
-                lambda g, tl, co, bk, of, ph, ts, tc, pr: (
+                lambda g, tl, co, bk, of, ph, bs, b2, bm, ts, tc, pr: (
                     jnp.minimum(tl[g], num_tiles - 1), 0, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, OUT_PAD, PIX),
-                lambda g, tl, co, bk, of, ph, ts, tc, pr: (
+                lambda g, tl, co, bk, of, ph, bs, b2, bm, ts, tc, pr: (
                     jnp.minimum(tl[g], num_tiles - 1), 0, 0),
                 memory_space=pltpu.VMEM),
         ],
@@ -824,7 +840,6 @@ def rasterize_pallas_backward(
             pltpu.VMEM((6 * PAYLOAD_PAD, PIX), jnp.float32),
             pltpu.VMEM((nsteps, chunk, PIX), jnp.bool_),
             pltpu.VMEM((chunk, PIX), jnp.int32),
-            pltpu.SMEM((8,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -836,5 +851,5 @@ def rasterize_pallas_backward(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100),
         ),
-    )(tile_of, c_of, blk, off, phase, tile_start, tile_count, params,
-      pair_payload, pair_payload, packed, cot_packed)
+    )(tile_of, c_of, blk, off, phase, bslot, bge2, bmeta, tile_start,
+      tile_count, params, pair_payload, pair_payload, packed, cot_packed)
