@@ -247,13 +247,7 @@ PAYLOAD_DIM = sum(d for _, d in PAYLOAD_FIELDS)  # 25
 # lane-aligned, and XLA's tiled HBM layout pads the minor dim to 128 anyway, so
 # the padding is physically free. TODO(perf): pack 4 pairs per row to use the
 # pad lanes for real data and cut DMA bytes 4x.
-# pair-payload lane width. HBM stores narrow arrays PACKED (a [1M,32] f32
-# array is 134 MB on device, measured — not 128-lane tile padded), so 32
-# lanes move 4x fewer payload bytes than the former 128 everywhere except
-# the backward GRADIENT rows, which stay wide (rasterize_pallas.GRAD_PAD):
-# <64-lane permute-gathers lower to a column-major per-channel loop
-# (measured 38 ns/row vs 11).
-PAYLOAD_PAD = 32
+PAYLOAD_PAD = 128
 ONES_COL = PAYLOAD_DIM  # constant-1 column: sum(w) falls out of the w@payload matmul
 
 

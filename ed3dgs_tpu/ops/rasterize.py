@@ -137,28 +137,33 @@ def _expand_raster_bwd(meta, res, cot):
      interpret) = meta
     (pair_payload, perm, seg_starts, seg_ends, tile_start, tile_count,
      half_wh, packed) = res
-    dpay = rp.rasterize_pallas_backward(
+    dpay, clive = rp.rasterize_pallas_backward(
         pair_payload, tile_start, tile_count, packed, cot,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret,
         half_wh=half_wh)
     K = perm.shape[0]
-    # The kernel writes every row of every tile's aligned chunk range —
-    # saturation-dead chunks as zeros — so only the capacity slack past the
-    # LAST tile's aligned end (and the final chunk of pad rows) holds
-    # uninitialized memory. Zero that one chunk of slack rows and redirect
-    # the uncovered sorted slots there through the sort's value column.
+    # zero ONE chunk of slack rows (rows K..K+chunk of the kernel output);
+    # they are the redirect target for every dead row below
     dpay = jax.lax.dynamic_update_slice(
         dpay, jnp.zeros((chunk, dpay.shape[1]), dpay.dtype), (K, 0))
-    last_nc = jnp.clip(-(-tile_count[num_tiles - 1] // chunk), 1, 512)
-    covered = jnp.minimum(tile_start[num_tiles - 1] + last_nc * chunk, K)
-    # inverse permutation by a second sort (~1.1ms; a 1M-element scatter
-    # costs ~4.6ns/element for the same result). Uncovered rows' value
-    # column points at the zeroed slack rows, spread over all `chunk` of
-    # them — a single repeated target row serializes the gather engine
-    # (measured 4.8 -> 14 ms).
+    # per-row live limit, boxcar-style (scatter +limit at each tile's first
+    # row, -limit at the next tile's first row, cumsum) — NO K-element
+    # gathers, which cost ~9ns/element on TPU
     row = jnp.arange(K, dtype=jnp.int32)
-    src = jnp.where(row < covered, row, K + row % chunk)
+    limit = tile_start + clive[:num_tiles, 0] * chunk      # [T]
+    nxt = jnp.concatenate([tile_start[1:],
+                           jnp.full((1,), 1 << 30, jnp.int32)])
+    lim_row = jnp.zeros((K,), jnp.int32).at[
+        jnp.concatenate([tile_start, jnp.minimum(nxt, K)])].add(
+        jnp.concatenate([limit, -limit]), mode="drop")
+    live = row < jnp.cumsum(lim_row)
+    # inverse permutation by a second sort (~1.1ms; a 1M-element scatter
+    # costs ~4.6ns/element for the same result). Dead rows' value column is
+    # one of the zeroed slack rows, so the permute-gather masks as it moves;
+    # the target is spread over all `chunk` slack rows — a single repeated
+    # target row serializes the gather engine (measured 4.8 -> 14 ms).
+    src = jnp.where(live, row, K + row % chunk)
     _, inv = jax.lax.sort((perm, src), num_keys=1, is_stable=False)
     # append SS_CHUNK slack rows (also pointing at zero row K) so the
     # segment-sum kernel's chunked DMA can over-read past the last segment
