@@ -24,21 +24,21 @@ def test_checkpoint_resume(tmp_path):
         "random_until=1000000", "min_embeddings=5", "max_embeddings=10",
         "net_width=16", "raster_chunk=32",
     ]
-    train_tool.main(["-m", m1, "--iterations", "40",
-                     "--checkpoint_iterations", "20", "--save_iterations", "40"]
+    train_tool.main(["-m", m1, "--iterations", "24",
+                     "--checkpoint_iterations", "12", "--save_iterations", "24"]
                     + common)
-    ckpt = os.path.join(m1, "chkpnt20.npz")
+    ckpt = os.path.join(m1, "chkpnt12.npz")
     assert os.path.exists(ckpt)
 
-    # resume from 20 -> 40 in a second run
+    # resume from 12 -> 24 in a second run
     m2 = str(tmp_path / "m2")
-    train_tool.main(["-m", m2, "--iterations", "40",
-                     "--start_checkpoint", ckpt, "--save_iterations", "40"]
+    train_tool.main(["-m", m2, "--iterations", "24",
+                     "--start_checkpoint", ckpt, "--save_iterations", "24"]
                     + common)
-    ply = os.path.join(m2, "point_cloud", "iteration_40", "point_cloud.ply")
+    ply = os.path.join(m2, "point_cloud", "iteration_24", "point_cloud.ply")
     assert os.path.exists(ply)
 
     with np.load(ckpt) as d:
-        assert int(d["iteration"]) == 20
+        assert int(d["iteration"]) == 12
         assert "params/gaussians/xyz" in d
         assert any(k.startswith("opt_state/") for k in d.files)
