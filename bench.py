@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def build(n=100_000, w=802, h=550):
+def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +53,7 @@ def build(n=100_000, w=802, h=550):
         # capacity sized to the workload (~790k pairs with tight rects;
         # rasterize reports num_pairs so real pipelines can size this too)
         cfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x,
-                           focal_y=cam.focal_y, pair_capacity=1 << 20,
+                           focal_y=cam.focal_y, pair_capacity=pair_capacity,
                            max_per_tile=2048, chunk=128, backend=backend)
 
         def run(means, scales, q, opac, shs):

@@ -179,7 +179,9 @@ def _forward_kernel(
         dy = xy_y - pyf
         power2 = dx * (c0e * dx + c1e * dy) + c2e * dy * dy  # power * log2(e)
         alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp2(power2))
-        inrow = rowid < (count - c * chunk)
+        # [chunk, 1] column compare (1 vreg) instead of a full [chunk, PIX]
+        # rowid compare; the broadcast rides the & below
+        inrow = rowid[:, :1] < (count - c * chunk)
         passes = inrow & (power2 <= 0.0) & (alpha >= ALPHA_MIN)
         a = jnp.where(passes, alpha, 0.0)
         om = 1.0 - a
@@ -358,7 +360,9 @@ def _backward_kernel(
         e2 = jnp.exp2(power2)
         alpha_raw = op * e2
         alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-        inrow = rowid < (count - c * chunk)
+        # [chunk, 1] column compare (1 vreg) instead of a full [chunk, PIX]
+        # rowid compare; the broadcast rides the & below
+        inrow = rowid[:, :1] < (count - c * chunk)
         passes = inrow & (power2 <= 0.0) & (alpha >= ALPHA_MIN)
         a = jnp.where(passes, alpha, 0.0)
         return dx, dy, e2, alpha_raw, alpha, passes, a, (c0e, c1e, c2e)

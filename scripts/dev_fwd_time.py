@@ -9,7 +9,8 @@ import bench
 
 
 def main():
-    forward, w, h = bench.build()
+    cap = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 20
+    forward, w, h = bench.build(pair_capacity=cap)
     f, fargs = forward("pallas")
     t0 = time.time()
     dt = bench.time_fn(f, fargs)
