@@ -20,6 +20,18 @@ import time
 
 import numpy as np
 
+# timers that exhausted their plausibility retries this run; the emitted
+# JSON carries "suspect": true so an implausible slope (e.g. ~0 or
+# negative dt through the tunnel) is never mistaken for a valid number
+_SUSPECT = []
+
+
+def _flag_suspect(name, dt):
+    _SUSPECT.append(name)
+    print(f"WARNING: {name} slope {dt:.3g}s/iter still outside the "
+          "plausible range after 3 retries; emitting it flagged as suspect",
+          file=sys.stderr)
+
 
 def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
     import jax
@@ -109,6 +121,7 @@ def time_fn(f, fargs, iters=20):
         dt = float((min(ths) - min(tls)) / (hi - lo))
         if 2e-4 < dt < 1.0:
             return dt
+    _flag_suspect("time_fn", dt)
     return dt
 
 
@@ -213,6 +226,7 @@ def time_train(raw_step, state, aux, batch, knn_cache, iters=12,
         dt = float((min(ths) - min(tls)) / (hi - lo))
         if 1e-3 < dt < 1.0:
             return dt
+    _flag_suspect("time_train", dt)
     return dt
 
 
@@ -297,6 +311,7 @@ def run_scaling(mesh_spec: str):
         "pixels_per_s_N": round(pixN, 1),
         "efficiency": round(pixN / (N * pix1), 4),
         "unit": "pixels/s",
+        **({"suspect": True} if _SUSPECT else {}),
     }))
 
 
@@ -330,6 +345,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "train_step_ms_802x550_100k": train_ms,
         "train_frames_per_s": train_fps,
+        **({"suspect": True} if _SUSPECT else {}),
     }))
 
 

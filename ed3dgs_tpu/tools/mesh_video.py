@@ -56,10 +56,11 @@ def natural_sort_key(s):
 
 
 def _load_colored_points(path):
-    """Any ply -> (points [N,3], colors [N,3] in [0,1]).
+    """Any ply -> (points [N,3], colors-or-normals [N,3], is_normals).
 
     Meshes are densified (vertices + 4 surface samples per face) and
-    Lambert-shaded white with the face normal against a headlight.
+    return per-point NORMALS (is_normals=True) for view-dependent Lambert
+    shading; pointclouds return their stored RGB (is_normals=False).
     """
     data = read_ply(path)
     v = data["vertex"]
@@ -73,7 +74,7 @@ def _load_colored_points(path):
                            ).astype(np.float32) / scale
         else:
             col = np.full_like(pts, 0.8)
-        return pts, col
+        return pts, col, False
     verts, faces = read_mesh_ply(path)
     fn = face_normals(verts, faces)                       # [F, 3]
     a, b, c = (verts[faces[:, i]] for i in range(3))
@@ -88,14 +89,20 @@ def _load_colored_points(path):
     np.add.at(vn, faces.reshape(-1), np.repeat(fn, 3, axis=0))
     vn /= np.maximum(np.linalg.norm(vn, axis=1, keepdims=True), 1e-9)
     all_n = np.concatenate([vn, s_norm], 0)
-    return all_pts, all_n  # normals; shading happens view-dependently
+    return all_pts, all_n, True  # normals; shading happens view-dependently
 
 
 def render_points(pts, colors_or_normals, eye, target, up, zoom, width=550,
                   height=802, shaded=False, point_size=2):
-    """Z-buffer point splat: project, sort far-to-near, write near last."""
-    fov = 2 * np.arctan(np.tan(np.radians(30.0) / 1.0) / zoom)
-    cam = look_at_camera(eye, target, up, fov, fov * height / width,
+    """Z-buffer point splat: project, sort far-to-near, write near last.
+
+    pyvista's default view_angle=30 deg is the FULL VERTICAL angle; zoom
+    scales the half-angle tangent, and the horizontal fov follows in tan
+    space from the aspect ratio (matches per_timestamp_mesh_2_video.py).
+    """
+    fovy = 2 * np.arctan(np.tan(np.radians(30.0) / 2.0) / zoom)
+    fovx = 2 * np.arctan(np.tan(fovy / 2.0) * width / height)
+    cam = look_at_camera(eye, target, up, fovx, fovy,
                          width, height).matrices()
     R = np.asarray(cam.world_view, np.float32)   # [4,4], translation in col 3
     cam_pts = pts @ R[:3, :3].T + R[:3, 3]                # [N, 3]
@@ -145,11 +152,10 @@ def main(argv=None):
                     path = os.path.join(args.input_folder, d, ply_file)
                     if not os.path.exists(path):
                         continue
-                    pts, cn = _load_colored_points(path)
-                    shaded = cn.shape == pts.shape and ply_file == "recon.ply"
+                    pts, cn, is_normals = _load_colored_points(path)
                     img = render_points(pts, cn, eye, target, up, zoom,
                                         args.width, args.height,
-                                        shaded=shaded)
+                                        shaded=is_normals)
                     save_img(os.path.join(fdir, f"{n:05d}.png"), img)
                     n += 1
                 if n == 0:

@@ -96,15 +96,25 @@ class PcdSupervisionLoader:
         self.pattern = model.colmap_pcd_pattern
         self.mult = model.colmap_pcd_frame_multiplier
         self.n = model.colmap_pcd_samples
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._calls = 0
         self._cache = {}
 
     def sample(self, frame_no: int):
-        """Returns (points [n,3] float32, valid bool)."""
+        """Returns (points [n,3] float32, valid bool).
+
+        The RNG is derived per call from (seed, call#, frame): under
+        multi-host meshes every host runs an identically-seeded sampler
+        in lockstep, and a stateful generator would desync permanently if
+        even one host's cloud file were missing (data-dependent draw
+        counts). A per-call derivation makes the stream independent of
+        what each host finds on disk."""
+        rng = np.random.default_rng((self.seed, self._calls, frame_no))
+        self._calls += 1
         pts = self._load(frame_no)
         if pts is None or len(pts) == 0:
             return np.zeros((self.n, 3), np.float32), False
-        idx = self.rng.choice(len(pts), self.n, replace=len(pts) < self.n)
+        idx = rng.choice(len(pts), self.n, replace=len(pts) < self.n)
         return pts[idx], True
 
     def _load(self, frame_no: int):
@@ -397,6 +407,17 @@ def run_training(cfg, args):
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             from ..parallel.sharded import batch_shardings
+            if pcd_loader is not None:
+                # The pcd cloud is staged replicated; if one host is
+                # missing a cloud file its pcd_valid diverges and the
+                # "replicated" spec silently feeds different values into
+                # the jitted lax.cond. Fail loudly instead.
+                multihost_utils.assert_equal(
+                    np.asarray([int(cams[-1].frame_no),
+                                int(np.asarray(b["pcd_valid"]))], np.int32),
+                    fail_message="colmap-pcd supervision desynced across "
+                    "hosts: a cloud file present on some hosts is missing "
+                    "on others (check colmap_pcd_dir on every host)")
             shs = batch_shardings(mesh, b)
             return {k: multihost_utils.host_local_array_to_global_array(
                         np.asarray(v), mesh, shs[k].spec)

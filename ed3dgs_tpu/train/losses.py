@@ -141,6 +141,9 @@ def colmap_pcd_loss(pcd_points, gaussian_positions, alive, chunk: int = 500):
     g = gaussian_positions * 1000.0                       # [C,3] mm
     g2 = jnp.sum(g * g, axis=1)                           # [C]
     dead_bump = jnp.where(alive, 0.0, jnp.float32(3e38))  # finite: inf breaks min-grad
+    P = pcd_points.shape[0]
+    if P % chunk:  # colmap_pcd_samples need not divide the default chunk
+        chunk = math.gcd(P, chunk)
     p = pcd_points.reshape(-1, chunk, 3) * 1000.0         # [n,chunk,3]
 
     def one(pc):

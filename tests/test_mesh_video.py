@@ -42,8 +42,9 @@ def test_mesh_video_end_to_end(tmp_path):
         assert (os.path.exists(path) or os.path.exists(base + ".gif")), path
 
     # the mesh view actually renders something non-black
-    pts, normals = mesh_video._load_colored_points(
+    pts, normals, is_normals = mesh_video._load_colored_points(
         os.path.join(root, "timestep_0", "recon.ply"))
+    assert is_normals  # meshes shade; colored pointclouds must not
     eye, target, up, zoom = mesh_video.VIEWS["central"]
     img = mesh_video.render_points(pts, normals, eye, target, up, zoom,
                                    96, 128, shaded=True)

@@ -46,7 +46,15 @@ ARGS = [
     "random_until=1000000", "min_embeddings=4", "max_embeddings=8",
     "net_width=32", "raster_chunk=32",
     "densify_from_iter=100", "densify_until_iter=0",
+    # replicated colmap-pcd staging, active (deform_from_iter < 10)
+    "colmap_supervision_enabled=true", "colmap_pcd_samples=64",
+    "colmap_pcd_pattern=pc_{frame:03d}.pcd",
+    "colmap_pcd_frame_multiplier=1", "deform_from_iter=2",
 ]
+
+
+def _pcd_args(scene):
+    return ARGS + [f"colmap_pcd_dir={os.path.join(scene, 'pcds')}"]
 
 
 def _free_port():
@@ -66,7 +74,8 @@ def _spawn(scene, model, n_proc, pid, port, timeout=900):
         env["JAX_NUM_PROCESSES"] = str(n_proc)
         env["JAX_PROCESS_ID"] = str(pid)
     return subprocess.Popen(
-        [sys.executable, "-c", RUNNER, "-s", scene, "-m", model] + ARGS,
+        [sys.executable, "-c", RUNNER, "-s", scene, "-m", model]
+        + _pcd_args(scene),
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
@@ -74,6 +83,13 @@ def _spawn(scene, model, n_proc, pid, port, timeout=900):
 def scene_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("scene"))
     generate_scene(d, n_cams=3, n_frames=3, width=48, height=48, n_points=100)
+    # per-frame GT clouds for the replicated pcd supervision path
+    from ed3dgs_tpu.data.pcd import write_pcd
+    rng = np.random.default_rng(7)
+    os.makedirs(os.path.join(d, "pcds"), exist_ok=True)
+    for f in range(3):
+        write_pcd(os.path.join(d, "pcds", f"pc_{f:03d}.pcd"),
+                  rng.normal(0, 0.3, (200, 3)).astype(np.float32))
     return d
 
 
@@ -99,7 +115,8 @@ def test_two_process_cli_matches_single_process(scene_dir, tmp_path):
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=2").strip()
     p = subprocess.Popen(
-        [sys.executable, "-c", RUNNER, "-s", scene_dir, "-m", m1] + ARGS,
+        [sys.executable, "-c", RUNNER, "-s", scene_dir, "-m", m1]
+        + _pcd_args(scene_dir),
         env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     out = p.communicate(timeout=900)[0].decode()
     assert p.returncode == 0, out[-3000:]
