@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.projection import ProjectedGaussians
+from . import relayout
 from .binning import (PAYLOAD_PAD, bin_gaussians, bin_rows,
                       build_gaussian_payload, tile_grid)
 from .common import RasterOutputs, TILE
@@ -56,16 +57,16 @@ def _resolve_backend(backend: str) -> str:
 
 def _unpack_pallas(packed: jnp.ndarray, bg: jnp.ndarray, cfg: RasterConfig,
                    grid) -> RasterOutputs:
-    grid_x, grid_y = grid
-    C = packed.shape[1]
-    # ONE relayout: [T, C, PIX] -> channel-major [C, H, W]. The kernel emits
+    # ONE relayout: [gy, GXP, C, PIX] -> channel-major [C, H, W] via the
+    # dedicated pallas kernel pair (ops/relayout.py). The kernel emits
     # channels on the sublane dim and PIX on the lane dim, so both the kernel
-    # write and this transpose move dense 256-lane rows (a [T, PIX, C] layout
+    # write and this shuffle move dense 128-lane rows (a [T, PIX, C] layout
     # physically pads C -> 128 lanes in HBM: ~5x traffic, profiled ~3.5
-    # ms/frame). Slicing channels afterwards cuts the LEADING dim (free).
-    img = packed.reshape(grid_y, grid_x, C, TILE, TILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(C, grid_y * TILE,
-                                               grid_x * TILE)
+    # ms/frame; the jnp.transpose equivalent lowers to XLA's ~58 GB/s 5-D
+    # copy, ~2.9 ms/step both directions — see docs/performance.md).
+    # Slicing channels afterwards cuts the LEADING dim (free).
+    img = relayout.unpack_image(packed, cfg.interpret
+                                or jax.default_backend() == "cpu")
     img = img[:, : cfg.height, : cfg.width]
     ch = {k: img[s] for k, s in rp.OUT_CHANNELS.items()}
     color = ch["color"] + ch["t_final"] * bg[:, None, None]

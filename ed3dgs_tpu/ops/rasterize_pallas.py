@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import relayout
 from .binning import ONES_COL, PAYLOAD_PAD, PAYLOAD_SLICES
 from .common import ALPHA_MAX, ALPHA_MIN, MEDIAN_T, NORMALIZE_EPS, T_STOP, TILE
 
@@ -278,7 +279,7 @@ def _forward_kernel(
         axis=0,
     )  # [OUT_DIM, PIX]
     packed = jnp.pad(packed, ((0, OUT_PAD - OUT_DIM), (0, 0)))
-    out_ref[0] = packed
+    out_ref[0, 0] = packed
 
 
 def _kernel_params(focal_x, focal_y, width, height, grid_x, half_wh):
@@ -412,8 +413,8 @@ def _backward_kernel(
         get_dma(jax.lax.rem(c_live, 2), c_live).wait()
 
     # ---- un-finalize the output cotangents (all [rows, PIX]) --------------
-    pk = packed_ref[0]       # [OUT_PAD, PIX]
-    ct = cot_ref[0]
+    pk = packed_ref[0, 0]    # [OUT_PAD, PIX]
+    ct = cot_ref[0, 0]
     W = pk[OC["weight"], :]                           # [1, PIX]
     anyc = W > 0.0
     safe_W = jnp.where(anyc, W, 1.0)
@@ -619,9 +620,11 @@ def rasterize_pallas_backward(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, OUT_PAD, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 1, OUT_PAD, PIX),
+                         lambda t, *_: (t // grid_x, t % grid_x, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, OUT_PAD, PIX), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, 1, OUT_PAD, PIX),
+                         lambda t, *_: (t // grid_x, t % grid_x, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -675,12 +678,15 @@ def rasterize_pallas_forward(
     may be traced (it depends on lax.axis_index under shard_map).
     """
     params = _kernel_params(focal_x, focal_y, width, height, grid_x, half_wh)
+    grid_y = num_tiles // grid_x
+    gxp = relayout.pad_grid_x(grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, OUT_PAD, PIX), lambda t, *_: (t, 0, 0),
+            (1, 1, OUT_PAD, PIX),
+            lambda t, *_: (t // grid_x, t % grid_x, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, chunk, PAYLOAD_PAD), jnp.float32),
@@ -695,7 +701,11 @@ def rasterize_pallas_forward(
     return pl.pallas_call(
         functools.partial(_forward_kernel, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, OUT_PAD, PIX), jnp.float32),
+        # tile columns padded to whole 8-tile groups: the relayout kernel
+        # (ops/relayout.py) then reads 128-lane-aligned groups; columns
+        # grid_x..gxp are never written and sliced away after the unpack
+        out_shape=jax.ShapeDtypeStruct((grid_y, gxp, OUT_PAD, PIX),
+                                       jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1024 * 1024 * 100),
