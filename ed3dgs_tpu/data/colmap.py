@@ -145,6 +145,22 @@ def write_images_binary(path: str, images: Dict[int, ColmapImage]):
             f.write(struct.pack("<Q", 0))
 
 
+def write_points3d_binary(path: str, xyz: np.ndarray, rgb: np.ndarray):
+    """points3D.bin with no track data (ids 1..N, error 0) — the layout
+    prepare_single_nersemble_4_radegs.py:389-409 emits for the per-timestep
+    COLMAP models."""
+    xyz = np.asarray(xyz, np.float64)
+    rgb = np.asarray(rgb, np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(xyz)))
+        for i in range(len(xyz)):
+            f.write(struct.pack("<q", i + 1))
+            f.write(struct.pack("<ddd", *xyz[i]))
+            f.write(struct.pack("<BBB", *rgb[i]))
+            f.write(struct.pack("<d", 0.0))
+            f.write(struct.pack("<Q", 0))
+
+
 # --- text -----------------------------------------------------------------
 
 def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:

@@ -69,6 +69,59 @@ def read_pcd(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     return pts, normals
 
 
+def read_pcd_colors(path: str) -> Optional[np.ndarray]:
+    """Point colors of a .pcd as [N,3] float32 in [0,1], or None.
+
+    Handles both separate r/g/b fields and PCL's packed-float 'rgb' field
+    (0x00RRGGBB reinterpreted as f32 — what Open3D reads from NerSemble's
+    pointcloud_16.pcd in prepare_single_nersemble_4_radegs.py:140-141)."""
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if not line or line.startswith("#"):
+                continue
+            key, _, rest = line.partition(" ")
+            header[key.upper()] = rest.split()
+            if key.upper() == "DATA":
+                break
+        fields = header["FIELDS"]
+        sizes = [int(s) for s in header["SIZE"]]
+        types = header["TYPE"]
+        counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+        n = int(header["POINTS"][0])
+        data_mode = header["DATA"][0].lower()
+        dtype_fields = []
+        for name, t, s, c in zip(fields, types, sizes, counts):
+            base = _TYPE_MAP.get((t, s))
+            if base is None:
+                raise ValueError(f"unsupported PCD field type {t}{s} in {path}")
+            dtype_fields.append((name, base, (c,)) if c > 1 else (name, base))
+        dt = np.dtype(dtype_fields)
+        if data_mode == "ascii":
+            raw = np.loadtxt(f, dtype=np.float64, max_rows=n)
+            raw = np.atleast_2d(raw)
+            cols = {}
+            off = 0
+            for name, c in zip(fields, counts):
+                cols[name] = raw[:, off] if c == 1 else raw[:, off:off + c]
+                off += c
+        elif data_mode == "binary":
+            arr = np.frombuffer(f.read(n * dt.itemsize), dtype=dt, count=n)
+            cols = {name: arr[name] for name in fields}
+        else:
+            raise ValueError(f"unsupported PCD DATA mode '{data_mode}'")
+    if all(k in cols for k in ("r", "g", "b")):
+        rgb = np.stack([cols["r"], cols["g"], cols["b"]], 1).astype(np.float32)
+        return rgb / 255.0 if rgb.max() > 1.0 else rgb
+    if "rgb" in cols:
+        packed = np.ascontiguousarray(
+            np.asarray(cols["rgb"], np.float32)).view(np.uint32)
+        return np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                         packed & 0xFF], 1).astype(np.float32) / 255.0
+    return None
+
+
 def write_pcd(path: str, points: np.ndarray, normals: Optional[np.ndarray] = None,
               binary: bool = True) -> None:
     points = np.asarray(points, np.float32)
