@@ -17,6 +17,7 @@ OptimizationParams = dict(
     position_lr_max_steps=80_000,
     deformation_lr_init=0.0016, deformation_lr_final=0.00016,
     deformation_lr_max_steps=80_000,
+    scene_bbox_min=[-3.0, -1.8, -1.2], scene_bbox_max=[3.0, 1.8, 1.2],
     lambda_dssim=1, num_multiview_ssim=5, use_colmap=True, offsets_lr=0,
     random_until=60000,
 )
