@@ -101,7 +101,7 @@ def _forward_kernel(
     out_ref,
     # scratch
     buf, sem, acc_w, acc_wx, acc_wy, med, state,
-    *, chunk: int,
+    *, chunk: int, blend_dtype=jnp.float32,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -184,22 +184,31 @@ def _forward_kernel(
         # rowid compare; the broadcast rides the & below
         inrow = rowid[:, :1] < (count - c * chunk)
         passes = inrow & (power2 <= 0.0) & (alpha >= ALPHA_MIN)
-        a = jnp.where(passes, alpha, 0.0)
-        om = 1.0 - a
+        # Opt-in bf16 blend (RasterConfig.blend_dtype): alpha/geometry stay
+        # f32; the transmittance roll-scan and weight products — the VPU-
+        # bound core of the kernel — run at bf16's 2x vector throughput.
+        # ~1e-2 color error (tests/test_rasterize_pallas.py tolerance test);
+        # a serving/render-quality knob, never set by the trainer.
+        a = jnp.where(passes, alpha, 0.0).astype(blend_dtype)
+        om = (1.0 - a).astype(blend_dtype)
 
         cum_raw = _cumprod_sublane(om, masks)        # inclusive
-        p_incl = t_carry * cum_raw
+        p_incl = t_carry.astype(blend_dtype) * cum_raw
         # exclusive product by shifting the inclusive one (a divide by om
         # costs ~2x; t_carry broadcast fills row 0)
-        p_excl = jnp.where(mask1, pltpu.roll(p_incl, 1, axis=0), t_carry)
-        include = passes & (p_incl >= T_STOP)
-        w = jnp.where(include, a * p_excl, 0.0)
+        p_excl = jnp.where(mask1, pltpu.roll(p_incl, 1, axis=0),
+                           t_carry.astype(blend_dtype))
+        include = passes & (p_incl >= blend_dtype(T_STOP))
+        w = jnp.where(include, a * p_excl, blend_dtype(0.0))
 
         # chunk-final transmittance = p_incl at the LAST include (p_incl is
         # non-increasing since om <= 1), i.e. the masked min — cheaper than
         # re-multiplying an effective-om product
-        new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
-        state[0, :] = new_t
+        new_t = jnp.min(jnp.where(include, p_incl,
+                                  t_carry.astype(blend_dtype)), axis=0)
+        state[0, :] = new_t.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+        p_excl = p_excl.astype(jnp.float32)
 
         # accumulate channel-major [F, PIX] (same MXU cost as [PIX, F]; keeps
         # the finalize + output write in the dense lane layout)
@@ -669,6 +678,7 @@ def rasterize_pallas_forward(
     chunk: int = 128,
     interpret: bool = False,
     half_wh=None,
+    blend_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Run the forward kernel; returns packed [T, OUT_PAD, PIX] channels.
 
@@ -699,7 +709,8 @@ def rasterize_pallas_forward(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_forward_kernel, chunk=chunk),
+        functools.partial(_forward_kernel, chunk=chunk,
+                          blend_dtype=blend_dtype),
         grid_spec=grid_spec,
         # tile columns padded to whole 8-tile groups: the relayout kernel
         # (ops/relayout.py) then reads 128-lane-aligned groups; columns

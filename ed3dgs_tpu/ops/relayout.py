@@ -40,11 +40,18 @@ def pad_grid_x(grid_x: int) -> int:
 
 
 def _unpack_kernel(in_ref, out_ref):
-    """[1, GROUP, C, PIX] -> [C, TILE, GROUP*TILE]."""
-    for t in range(GROUP):
-        for y in range(TILE):
-            out_ref[:, y, t * TILE:(t + 1) * TILE] = \
-                in_ref[0, t, :, y * TILE:(y + 1) * TILE]
+    """[1, GROUP, C, PIX] -> [C, TILE, GROUP*TILE].
+
+    Assembled one image ROW at a time: each y writes a full 128-lane
+    [C, 1, 128] value (one aligned vector store) built by concatenating the
+    8 tiles' 16-lane strips — 16 aligned stores per block instead of 128
+    sub-vreg masked merges (the per-(t, y) formulation measured 1.2 ms/frame
+    at 802x550; lane-extracts are cheap, partial-lane stores are not)."""
+    for y in range(TILE):
+        row = jnp.concatenate(
+            [in_ref[0, t, :, y * TILE:(y + 1) * TILE] for t in range(GROUP)],
+            axis=1)                                   # [C, 128]
+        out_ref[:, y, :] = row
 
 
 def _pack_kernel(in_ref, out_ref):
