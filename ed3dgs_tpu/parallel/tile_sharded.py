@@ -195,3 +195,75 @@ def tile_sharded_rasterize(
     # crop the tile padding of the bottom strip(s)
     out = jax.tree.map(lambda x: x[:, :cfg.height, :], out)
     return out._replace(tile_overflow=tile_ovf > 0), overflow
+
+
+def batched_strip_rasterize(
+    payload_b: jnp.ndarray,      # [B, N, F] per-camera payload rows (pad=False)
+    depth_b: jnp.ndarray,        # [B, N]
+    valid_b: jnp.ndarray,        # [B, N]
+    rect_min_b: jnp.ndarray,     # [B, N, 2]
+    rect_max_b: jnp.ndarray,     # [B, N, 2]
+    bg: jnp.ndarray,
+    cfg: RasterConfig,
+    mesh: Mesh,
+    *,
+    data_axis: str = "data",
+    gauss_axis: str = "gauss",
+    send_capacity: int | None = None,
+):
+    """Strip-exchange rasterization for a CAMERA BATCH on a 2-D mesh.
+
+    The per-camera strip exchange (tile_sharded_rasterize) could not ride
+    the batched GSPMD train step because vmap does not compose with the
+    all_to_all inside shard_map over the "data"-sharded batch axis
+    (docs/performance.md "Why the train step keeps the GSPMD all-gather").
+    This is the pre-built workaround for the hardware-day A/B
+    (docs/hardware_day.md §3): ONE shard_map over BOTH mesh axes whose body
+    runs `lax.map` over the LOCAL camera shard — the exchange serializes
+    over local cameras (B_local is small: 1-2 in production) instead of
+    serializing the batch axis itself, and each camera's exchange is the
+    same single all_to_all over the gauss groups as the serving path.
+
+    CPU-mesh parity-tested only (tests/test_tile_sharded.py); never
+    perf-measured — that measurement is hardware-day task 3. Reference
+    analogue: duplicateWithKeys feeding every tile, rasterizer_impl.cu:253-432.
+
+    Returns (RasterOutputs [B, C, H, W], overflow) with the same overflow
+    contract as tile_sharded_rasterize.
+    """
+    g = mesh.shape[gauss_axis]
+    grid_x, _ = tile_grid(cfg.width, cfg.height)
+    strip_rows = strip_rows_for(cfg, g)
+    n = payload_b.shape[1]
+    assert n % g == 0, "pad the gaussian axis to a multiple of the mesh"
+    assert payload_b.shape[0] % mesh.shape[data_axis] == 0
+    if send_capacity is None:
+        send_capacity = max(64, -(-2 * n // g))
+
+    def body(payload, depth, valid, rmin, rmax, bg_):
+        def one(args):
+            p, d, v, r0, r1 = args
+            return _strip_raster(
+                p, d, v, r0, r1, bg_, cfg=cfg, axis=gauss_axis, g=g,
+                grid_x=grid_x, strip_rows=strip_rows, cap=send_capacity)
+        out, ovf, tovf = jax.lax.map(one, (payload, depth, valid, rmin, rmax))
+        # replicate the scalars over "data" too (out_specs P())
+        return (out, jax.lax.pmax(jnp.max(ovf), data_axis),
+                jax.lax.pmax(jnp.max(tovf), data_axis))
+
+    out_strip = jax.tree.map(
+        lambda _: P(data_axis, None, gauss_axis, None),
+        RasterOutputs(*([0] * (len(RasterOutputs._fields) - 1)), None))
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(data_axis, gauss_axis), P(data_axis, gauss_axis),
+                  P(data_axis, gauss_axis), P(data_axis, gauss_axis),
+                  P(data_axis, gauss_axis), P()),
+        out_specs=(out_strip, P(), P()),
+        check_vma=False,
+    )
+    out, overflow, tile_ovf = fn(payload_b, depth_b, valid_b, rect_min_b,
+                                 rect_max_b, bg)
+    out = jax.tree.map(lambda x: x[:, :, :cfg.height, :], out)
+    return out._replace(tile_overflow=tile_ovf > 0), overflow

@@ -19,9 +19,23 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent XLA compilation cache, shared by every test AND the CLI
+# subprocesses (test_multiprocess_cpu et al. inherit the env var): the
+# CLI-shaped tests rebuild identical train-step programs through fresh jit
+# closures, so without this each invocation recompiles the same HLO
+# (~15-40 s per compile on this 2-core box — the bulk of the suite's wall
+# clock). Keyed by HLO hash; stale entries are harmless.
+_CACHE_DIR = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 try:
     from jax._src import xla_bridge as _xb
 

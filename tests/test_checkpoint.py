@@ -13,16 +13,19 @@ def test_checkpoint_resume(tmp_path):
     scene_dir = str(tmp_path / "scene")
     m1 = str(tmp_path / "m1")
     generate_scene(scene_dir, n_cams=3, n_frames=3, width=48, height=48,
-                   n_points=80)
+                   n_points=100)
     from ed3dgs_tpu.tools import train as train_tool
 
+    # step-program shapes identical to test_train_cli_mesh/e2e (see the
+    # comment there): the persistent compilation cache dedupes the compile
     common = [
         "-s", scene_dir, "--loader", "dynerf", "--duration", "3",
-        "--capacity", "128", "--backend", "xla", "--quiet",
-        "--set", "max_number_gaussians=128", "pair_capacity=8192",
+        "--capacity", "256", "--backend", "xla", "--quiet",
+        "--set", "max_number_gaussians=256", "pair_capacity=16384",
+        "batch_size=2",
         "densify_from_iter=1000000", "radegs_regularization_from_iter=1000000",
-        "random_until=1000000", "min_embeddings=5", "max_embeddings=10",
-        "net_width=16", "raster_chunk=32",
+        "random_until=1000000", "min_embeddings=4", "max_embeddings=8",
+        "net_width=32", "raster_chunk=32",
     ]
     train_tool.main(["-m", m1, "--iterations", "24",
                      "--checkpoint_iterations", "12", "--save_iterations", "24"]

@@ -42,7 +42,12 @@ def test_qvec_roundtrip():
 def test_train_render_metrics_pipeline(tmp_path):
     scene_dir = str(tmp_path / "scene")
     model_dir = str(tmp_path / "model")
-    generate_scene(scene_dir, n_cams=3, n_frames=4, width=64, height=64,
+    # scene + step-program shapes deliberately IDENTICAL to
+    # test_train_cli_mesh/test_multiprocess_cpu (48x48, cap 256, pair 16384,
+    # emb 4/8, net 32, batch 2): the persistent compilation cache
+    # (conftest) then compiles the train step once across the CLI-shaped
+    # test files instead of once per file
+    generate_scene(scene_dir, n_cams=3, n_frames=3, width=48, height=48,
                    n_points=120)
 
     from ed3dgs_tpu.tools import metrics as metrics_tool
@@ -51,12 +56,13 @@ def test_train_render_metrics_pipeline(tmp_path):
 
     train_tool.main([
         "-s", scene_dir, "-m", model_dir, "--loader", "dynerf",
-        "--duration", "4", "--iterations", "60", "--capacity", "256",
+        "--duration", "3", "--iterations", "60", "--capacity", "256",
         "--backend", "xla", "--quiet", "--save_iterations", "60",
         "--set", "max_number_gaussians=256", "pair_capacity=16384",
+        "batch_size=2",
         "densify_from_iter=20", "densify_until_iter=50",
         "radegs_regularization_from_iter=1000000",
-        "random_until=1000000", "min_embeddings=5", "max_embeddings=10",
+        "random_until=1000000", "min_embeddings=4", "max_embeddings=8",
         "net_width=32", "raster_chunk=32",
     ])
     ply = os.path.join(model_dir, "point_cloud", "iteration_60", "point_cloud.ply")
@@ -68,10 +74,10 @@ def test_train_render_metrics_pipeline(tmp_path):
 
     render_tool.main([
         "-m", model_dir, "-s", scene_dir, "--loader", "dynerf",
-        "--duration", "4", "--skip_train", "--skip_video", "--max_frames", "3",
+        "--duration", "3", "--skip_train", "--skip_video", "--max_frames", "3",
         "--backend", "xla", "--iteration", "60",
         "--set", "max_number_gaussians=256", "pair_capacity=16384",
-        "min_embeddings=5", "max_embeddings=10", "net_width=32",
+        "min_embeddings=4", "max_embeddings=8", "net_width=32",
         "raster_chunk=32",
     ])
     test_dir = os.path.join(model_dir, "test", "ours_60")

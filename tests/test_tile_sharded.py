@@ -114,3 +114,50 @@ def test_tile_sharded_overflow_reported():
     _, overflow = tile_sharded_rasterize(proj, tongue, bg, cfg, mesh,
                                          send_capacity=4)
     assert int(overflow) > 4  # demand honestly reported past the cap
+
+
+def test_batched_strip_exchange_matches_single_device():
+    """The pre-built hardware-day A/B path: the per-camera strip exchange
+    run for a CAMERA BATCH via lax.map inside one shard_map over a
+    data=2 x gauss=4 mesh (parallel/tile_sharded.batched_strip_rasterize).
+    Parity only — perf is hardware-day task 3 (docs/hardware_day.md)."""
+    from ed3dgs_tpu.ops.binning import build_gaussian_payload
+    from ed3dgs_tpu.parallel.tile_sharded import batched_strip_rasterize
+
+    (means, scales, q, opac, shs), tongue, args, cfg = build(n=100, seed=7)
+    bg = jnp.asarray([0.3, 0.2, 0.1])
+
+    # two cameras: the base view and a slightly shifted one
+    fov = math.radians(60.0)
+    cam2 = look_at_camera((0.15, 0.1, 0), (0, 0, 2.0), (0, -1, 0), fov,
+                          2 * math.atan(math.tan(fov / 2) * H / W), W, H
+                          ).matrices()
+    args2 = dict(args, viewmatrix=jnp.asarray(cam2.world_view),
+                 projmatrix=jnp.asarray(cam2.full_proj),
+                 campos=jnp.asarray(cam2.campos))
+
+    projs = [project_gaussians(means, scales, q, opac, shs, **a)
+             for a in (args, args2)]
+    refs = [rasterize(p, tongue, bg, cfg) for p in projs]
+
+    payload_b = jnp.stack([build_gaussian_payload(p, tongue, pad=False)
+                           for p in projs])
+    depth_b = jnp.stack([p.depth for p in projs])
+    valid_b = jnp.stack([p.valid & (p.tiles_touched > 0) for p in projs])
+    rmin_b = jnp.stack([p.rect_min for p in projs])
+    rmax_b = jnp.stack([p.rect_max for p in projs])
+
+    mesh = make_mesh(data=2, gauss=4)
+    out, overflow = jax.jit(
+        lambda *xs: batched_strip_rasterize(*xs, cfg=cfg, mesh=mesh)
+    )(payload_b, depth_b, valid_b, rmin_b, rmax_b, bg)
+
+    assert int(overflow) <= 2 * 128 // 4 * 4
+    for i, ref in enumerate(refs):
+        for name in ref._fields:
+            if name == "tile_overflow":
+                continue
+            a = np.asarray(getattr(ref, name))
+            b = np.asarray(getattr(out, name))[i]
+            np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4,
+                                       err_msg=f"camera {i} channel {name}")
