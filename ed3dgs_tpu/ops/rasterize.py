@@ -47,11 +47,6 @@ class RasterConfig:
     chunk: int = 128
     backend: str = "auto"
     interpret: bool = False      # pallas interpreter mode (debug)
-    # opt-in serving/render-quality knob: "bfloat16" runs the forward
-    # kernel's transmittance scan + blend weights at bf16's 2x VPU
-    # throughput (~1e-2 color error, tolerance-tested). The trainer never
-    # sets it; gradients always use the f32 blend.
-    blend_dtype: str = "float32"
 
 
 def _resolve_backend(backend: str) -> str:
@@ -122,12 +117,12 @@ def _expand_impl(payload_sorted, pair_gauss, meta):
 
 def _tiles_impl(pair_payload, tile_start, tile_count, half_wh, meta):
     (chunk, _, num_tiles, grid_x, width, height, focal_x, focal_y,
-     interpret, blend_dtype) = meta
+     interpret) = meta
     return rp.rasterize_pallas_forward(
         pair_payload, tile_start, tile_count,
         num_tiles=num_tiles, grid_x=grid_x, width=width, height=height,
         focal_x=focal_x, focal_y=focal_y, chunk=chunk, interpret=interpret,
-        half_wh=half_wh, blend_dtype=jnp.dtype(blend_dtype).type)
+        half_wh=half_wh)
 
 
 def _expand_raster_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
@@ -140,7 +135,7 @@ def _expand_raster_fwd(payload_sorted, pair_gauss, perm, seg_starts, seg_ends,
 
 def _expand_raster_bwd(meta, res, cot):
     (chunk, F, num_tiles, grid_x, width, height, focal_x, focal_y,
-     interpret, _blend_dtype) = meta  # backward always blends in f32
+     interpret) = meta
     (pair_payload, perm, seg_starts, seg_ends, tile_start, tile_count,
      half_wh, packed) = res
     dpay, clive = rp.rasterize_pallas_backward(
@@ -206,8 +201,7 @@ def _pallas_forward_rows(payload, depth, valid, rect_min, rect_max,
     payload_sorted = payload[bins.order]
     num_tiles = grid_x * grid_y
     meta = (cfg.chunk, payload.shape[-1], num_tiles, grid_x, cfg.width,
-            cfg.height, cfg.focal_x, cfg.focal_y, cfg.interpret,
-            cfg.blend_dtype)
+            cfg.height, cfg.focal_x, cfg.focal_y, cfg.interpret)
     hw = cfg.width / 2.0 if half_w is None else half_w
     hh = cfg.height / 2.0 if half_h is None else half_h
     half_wh = jnp.stack([jnp.asarray(hw, jnp.float32),

@@ -74,11 +74,21 @@ def _make_scan_masks(shape):
     return masks
 
 
+def _roll_rows(x, k: int):
+    """roll(x, k, axis=0). Mosaic's tpu.dynamic_rotate only supports 32-bit
+    element types; sub-32-bit dtypes fall back to an equivalent static
+    concat-of-slices (kept for the record of the measured-dead bf16 blend
+    experiment — see docs/performance.md)."""
+    if x.dtype == jnp.float32 or x.dtype == jnp.int32:
+        return pltpu.roll(x, k, axis=0)
+    return jnp.concatenate([x[-k:], x[:-k]], axis=0)
+
+
 def _scan_sublane(x, op, identity, masks):
     """Inclusive scan along axis 0 of [C, P] via log2(C) masked rolls."""
     k = 1
     for m in masks:
-        shifted = pltpu.roll(x, k, axis=0)
+        shifted = _roll_rows(x, k)
         x = op(x, jnp.where(m, shifted, identity))
         k *= 2
     return x
@@ -101,7 +111,7 @@ def _forward_kernel(
     out_ref,
     # scratch
     buf, sem, acc_w, acc_wx, acc_wy, med, state,
-    *, chunk: int, blend_dtype=jnp.float32,
+    *, chunk: int,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -184,31 +194,22 @@ def _forward_kernel(
         # rowid compare; the broadcast rides the & below
         inrow = rowid[:, :1] < (count - c * chunk)
         passes = inrow & (power2 <= 0.0) & (alpha >= ALPHA_MIN)
-        # Opt-in bf16 blend (RasterConfig.blend_dtype): alpha/geometry stay
-        # f32; the transmittance roll-scan and weight products — the VPU-
-        # bound core of the kernel — run at bf16's 2x vector throughput.
-        # ~1e-2 color error (tests/test_rasterize_pallas.py tolerance test);
-        # a serving/render-quality knob, never set by the trainer.
-        a = jnp.where(passes, alpha, 0.0).astype(blend_dtype)
-        om = (1.0 - a).astype(blend_dtype)
+        a = jnp.where(passes, alpha, 0.0)
+        om = 1.0 - a
 
         cum_raw = _cumprod_sublane(om, masks)        # inclusive
-        p_incl = t_carry.astype(blend_dtype) * cum_raw
+        p_incl = t_carry * cum_raw
         # exclusive product by shifting the inclusive one (a divide by om
         # costs ~2x; t_carry broadcast fills row 0)
-        p_excl = jnp.where(mask1, pltpu.roll(p_incl, 1, axis=0),
-                           t_carry.astype(blend_dtype))
-        include = passes & (p_incl >= blend_dtype(T_STOP))
-        w = jnp.where(include, a * p_excl, blend_dtype(0.0))
+        p_excl = jnp.where(mask1, _roll_rows(p_incl, 1), t_carry)
+        include = passes & (p_incl >= T_STOP)
+        w = jnp.where(include, a * p_excl, 0.0)
 
         # chunk-final transmittance = p_incl at the LAST include (p_incl is
         # non-increasing since om <= 1), i.e. the masked min — cheaper than
         # re-multiplying an effective-om product
-        new_t = jnp.min(jnp.where(include, p_incl,
-                                  t_carry.astype(blend_dtype)), axis=0)
-        state[0, :] = new_t.astype(jnp.float32)
-        w = w.astype(jnp.float32)
-        p_excl = p_excl.astype(jnp.float32)
+        new_t = jnp.min(jnp.where(include, p_incl, t_carry), axis=0)
+        state[0, :] = new_t
 
         # accumulate channel-major [F, PIX] (same MXU cost as [PIX, F]; keeps
         # the finalize + output write in the dense lane layout)
@@ -678,7 +679,6 @@ def rasterize_pallas_forward(
     chunk: int = 128,
     interpret: bool = False,
     half_wh=None,
-    blend_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Run the forward kernel; returns packed [T, OUT_PAD, PIX] channels.
 
@@ -709,8 +709,7 @@ def rasterize_pallas_forward(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_forward_kernel, chunk=chunk,
-                          blend_dtype=blend_dtype),
+        functools.partial(_forward_kernel, chunk=chunk),
         grid_spec=grid_spec,
         # tile columns padded to whole 8-tile groups: the relayout kernel
         # (ops/relayout.py) then reads 128-lane-aligned groups; columns

@@ -56,18 +56,18 @@ def test_train_render_metrics_pipeline(tmp_path):
 
     train_tool.main([
         "-s", scene_dir, "-m", model_dir, "--loader", "dynerf",
-        "--duration", "3", "--iterations", "60", "--capacity", "256",
-        "--backend", "xla", "--quiet", "--save_iterations", "60",
+        "--duration", "3", "--iterations", "40", "--capacity", "256",
+        "--backend", "xla", "--quiet", "--save_iterations", "40",
         "--set", "max_number_gaussians=256", "pair_capacity=16384",
         "batch_size=2",
-        "densify_from_iter=20", "densify_until_iter=50",
+        "densify_from_iter=20", "densify_until_iter=36",
         "radegs_regularization_from_iter=1000000",
         "random_until=1000000", "min_embeddings=4", "max_embeddings=8",
         "net_width=32", "raster_chunk=32",
     ])
-    ply = os.path.join(model_dir, "point_cloud", "iteration_60", "point_cloud.ply")
+    ply = os.path.join(model_dir, "point_cloud", "iteration_40", "point_cloud.ply")
     assert os.path.exists(ply)
-    assert os.path.exists(os.path.join(model_dir, "point_cloud", "iteration_60",
+    assert os.path.exists(os.path.join(model_dir, "point_cloud", "iteration_40",
                                        "deformation.npz"))
     assert os.path.exists(os.path.join(model_dir, "cameras.json"))
     assert os.path.exists(os.path.join(model_dir, "training_time.txt"))
@@ -75,12 +75,12 @@ def test_train_render_metrics_pipeline(tmp_path):
     render_tool.main([
         "-m", model_dir, "-s", scene_dir, "--loader", "dynerf",
         "--duration", "3", "--skip_train", "--skip_video", "--max_frames", "3",
-        "--backend", "xla", "--iteration", "60",
+        "--backend", "xla", "--iteration", "40",
         "--set", "max_number_gaussians=256", "pair_capacity=16384",
         "min_embeddings=4", "max_embeddings=8", "net_width=32",
         "raster_chunk=32",
     ])
-    test_dir = os.path.join(model_dir, "test", "ours_60")
+    test_dir = os.path.join(model_dir, "test", "ours_40")
     assert len(os.listdir(os.path.join(test_dir, "renders"))) == 3
     assert len(os.listdir(os.path.join(test_dir, "gt"))) == 3
     assert os.path.exists(os.path.join(test_dir, "normal"))
@@ -88,5 +88,5 @@ def test_train_render_metrics_pipeline(tmp_path):
     metrics_tool.evaluate([model_dir])
     with open(os.path.join(model_dir, "results.json")) as f:
         results = json.load(f)
-    psnr = results["ours_60"]["PSNR"]
+    psnr = results["ours_40"]["PSNR"]
     assert psnr is not None and psnr > 12.0, results

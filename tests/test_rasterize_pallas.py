@@ -82,31 +82,6 @@ def test_pallas_tpu_matches_oracle():
     _parity(interpret=False, atol=1e-2)
 
 
-def test_bf16_blend_tolerance():
-    """Opt-in blend_dtype='bfloat16' (RasterConfig): the transmittance scan
-    + blend weights run at bf16. Bounds the quality cost vs the f32 blend
-    (serving/render knob; the trainer never sets it)."""
-    w = h = 48
-    fov = math.radians(60.0)
-    cam = look_at_camera((0, 0, 0), (0, 0, 1), (0, -1, 0), fov, fov, w, h
-                         ).matrices()
-    means, scales, quats, opac, rgb, tongue = scene(n=200, seed=3)
-    proj = project(cam, means, scales, quats, opac, rgb)
-    bg = jnp.array([0.1, 0.2, 0.3])
-    mk = lambda dt: RasterConfig(
-        width=w, height=h, focal_x=cam.focal_x, focal_y=cam.focal_y,
-        pair_capacity=1 << 12, chunk=32, backend="pallas", interpret=True,
-        blend_dtype=dt)
-    f32 = rasterize(proj, jnp.asarray(tongue), bg, mk("float32"))
-    b16 = rasterize(proj, jnp.asarray(tongue), bg, mk("bfloat16"))
-    a = np.asarray(f32.color)
-    b = np.asarray(b16.color)
-    assert np.abs(b - a).max() < 0.05, np.abs(b - a).max()
-    assert np.abs(b - a).mean() < 5e-3, np.abs(b - a).mean()
-    # alpha stays a valid opacity map
-    assert np.all(np.asarray(b16.alpha) <= 1.0 + 1e-2)
-
-
 def _grad_parity(interpret, maxrel):
     w = h = 48
     fov = math.radians(60.0)
