@@ -347,9 +347,31 @@ def run_training(cfg, args):
         preference_probability=model.frame_preference_probability,
         seed=args.seed)
 
+    # adaptive KNN-graph capacity buckets (grow-only, like the rasterizer's
+    # pair capacity): when a refresh reports dropped spill/far entries, the
+    # graph is re-prepared with the next bucket before training continues.
+    # All hosts compute identical (replicated) caches, so the bucket
+    # decisions agree deterministically across processes.
+    knn_caps = {"spill_a": 512, "spill_b": 1024, "far": 1 << 19}
+
     def refresh_knn(params, aux):
-        cache = update_knn_cache(params, aux,
-                                 tongue_enabled=model.tongue_mask_loss_enabled)
+        while True:
+            cache = update_knn_cache(
+                params, aux, tongue_enabled=model.tongue_mask_loss_enabled,
+                spill_a=knn_caps["spill_a"], spill_b=knn_caps["spill_b"],
+                far_capacity=knn_caps["far"])
+            ovf = np.asarray(jax.device_get(cache.graph.overflow))
+            ovf = ovf + np.asarray(jax.device_get(cache.t_graph.overflow))
+            if not ovf.any():
+                break
+            grew = False
+            for i, name in enumerate(("spill_a", "spill_b", "far")):
+                if ovf[i] > 0:
+                    knn_caps[name] *= 2
+                    grew = True
+            if grew:
+                print(f"[knn] capacity overflow {ovf.tolist()}; growing "
+                      f"buckets to {knn_caps}")
         return shard_knn_cache(mesh, cache) if mesh is not None else cache
 
     knn_cache = refresh_knn(state.params["gaussians"], aux)

@@ -64,7 +64,7 @@ class TrainSetup:
 
 
 
-KNN_CHUNK = 1024        # pair rows per pass-B grid step (ops/knn_loss.py)
+KNN_K = 20              # neighbors per gaussian (train.py:222 o3d_knn(..., 20))
 
 
 class KnnCache(NamedTuple):
@@ -78,28 +78,31 @@ def _masked_coef(mask, k):
 
 
 def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
-                     tongue_enabled: bool = False, k: int = 20) -> KnnCache:
+                     tongue_enabled: bool = False, k: int = KNN_K,
+                     spill_a: int = 512, spill_b: int = 1024,
+                     far_capacity: int = 1 << 19) -> KnnCache:
     """Recompute the embedding-regularizer neighborhood graph
     (train.py:217-229) — on-device, replacing the reference's CPU Open3D
-    KDTree stall. The graph is fully prepared here (CSR sort, per-pair
-    weight/coef pre-gathers, block-sparse schedule) so the per-step loss is
-    the two fused kernels of ops/knn_loss.py."""
+    KDTree stall. The graph is fully prepared here (Morton ranks, window
+    locals, spill tables, far-pair schedule — see ops/knn_loss.py) so the
+    per-step loss is two scatter-free fused kernels. Capacities are static;
+    tools/train.py grows them adaptively when `graph.overflow` reports
+    drops (like the rasterizer's pair-capacity buckets)."""
     def _pin_row_major(graph: knn_loss.KnnGraph) -> knn_loss.KnnGraph:
-        # The pass-B kernel streams [8, chunk] blocks of the transposed
-        # weight/coef/seg strip, so wc_t must keep its natural row-major
-        # {1,0} layout (Ps minor). XLA's layout assigner can flip narrow
-        # arrays produced by the prepare computation and insert a [8, 2M]
-        # relayout copy EVERY step (the untransposed variant profiled at
-        # 1.85 ms/step in round 2) — pin it once here (the cache refreshes
-        # only on the densify cadence).
+        # The far kernel streams [8, 256] blocks of far_aux, so it must
+        # keep its natural row-major layout: XLA's layout assigner can flip
+        # narrow arrays produced by the prepare computation and insert a
+        # relayout copy EVERY step (measured 1.85 ms/step on the analogous
+        # round-2 wc_t array) — pin it once here (the cache refreshes only
+        # on the densify cadence).
         if jax.default_backend() not in ("tpu", "axon"):
             return graph
         try:
             from jax.experimental.layout import Format, Layout
-            # jax Layout is MAJOR_to_minor: row-major for [8, Ps] is (0, 1)
+            # jax Layout is MAJOR_to_minor: row-major for [8, F] is (0, 1)
             fmt = Format(Layout((0, 1)),
                          jax.sharding.SingleDeviceSharding(jax.devices()[0]))
-            return graph._replace(wc_t=jax.device_put(graph.wc_t, fmt))
+            return graph._replace(far_aux=jax.device_put(graph.far_aux, fmt))
         except Exception:  # layout API unavailable: keep the per-step copy
             return graph
 
@@ -110,21 +113,24 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     # stay ~1e3, not 1e6: the |a|^2+|b|^2-2ab distance expansion cancels
     # catastrophically in f32 for huge coordinates (measured d2 ~ -3e20 at 1e6,
     # whose exp(-2000*d2) is inf) — and distances are clamped >= 0 regardless.
+    # The same shell points feed the Morton ordering: they line up along a
+    # diagonal, so dead slots cluster into their own rank blocks.
     far = 1e3 + 1e-3 * jnp.arange(C, dtype=jnp.float32)[:, None]
     pts = jnp.where(mask[:, None], params.xyz, far)
     d2, idx = knn_op(pts, k=k)
     w = jnp.where(mask[:, None], jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
-    graph = knn_loss.prepare_knn_graph(idx, w, _masked_coef(mask, k),
-                                       chunk=KNN_CHUNK)
+    graph = knn_loss.prepare_knn_graph(
+        idx, w, _masked_coef(mask, k), pts,
+        spill_a=spill_a, spill_b=spill_b, far_capacity=far_capacity)
     if tongue_enabled:
         tmask = aux.alive & tongue
         tpts = jnp.where(tmask[:, None], params.xyz, -far)
         td2, tidx = knn_op(tpts, k=k)
         tw = jnp.where(tmask[:, None],
                        jnp.exp(-2000.0 * jnp.maximum(td2, 0.0)), 0.0)
-        t_graph = knn_loss.prepare_knn_graph(tidx, tw,
-                                             _masked_coef(tmask, k),
-                                             chunk=KNN_CHUNK)
+        t_graph = knn_loss.prepare_knn_graph(
+            tidx, tw, _masked_coef(tmask, k), tpts,
+            spill_a=spill_a, spill_b=spill_b, far_capacity=far_capacity)
     else:
         t_graph = graph
     same = t_graph is graph
@@ -202,7 +208,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             loss = loss + setup.opacity_l1_coef * opa_loss
 
         emb_loss = knn_loss.knn_loss_fused(
-            gparams.embedding, knn_cache.graph, KNN_CHUNK,
+            gparams.embedding, knn_cache.graph, KNN_K,
             jax.default_backend() == "cpu")
         loss = loss + setup.reg_coef * emb_loss
 
@@ -248,7 +254,7 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
                              keepdim=True).mean()
             loss = loss + 5.0 * t_l1
             t_emb = knn_loss.knn_loss_fused(
-                gparams.embedding, knn_cache.t_graph, KNN_CHUNK,
+                gparams.embedding, knn_cache.t_graph, KNN_K,
                 jax.default_backend() == "cpu")
             loss = loss + setup.reg_coef * t_emb
 

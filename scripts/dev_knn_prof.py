@@ -1,4 +1,4 @@
-"""Profile the embedding-KNN loss block (gather + pass A + pass B) alone.
+"""Profile the embedding-KNN loss block (Morton windows + far pass) alone.
 
 Usage: python scripts/dev_knn_prof.py [out_dir]
 Builds the bench-shaped graph (100k capacity, 95k alive, K=20, E=32),
@@ -18,7 +18,6 @@ import numpy as np
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/knn_prof"
-    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     import jax
     import jax.numpy as jnp
 
@@ -41,13 +40,14 @@ def main():
     w = jnp.where(jnp.asarray(alive)[:, None],
                   jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
     coef = jnp.asarray(alive, jnp.float32) / max(n_alive * K, 1)
-    graph = knn_loss.prepare_knn_graph(idx, w, coef, chunk=chunk)
+    graph = jax.jit(lambda *a: knn_loss.prepare_knn_graph(
+        a[0], a[1], a[2], a[3], spill_b=1024, far_capacity=1 << 19))(idx, w, coef, jnp.asarray(q))
     emb = jnp.asarray(rng.normal(0, 0.1, (C, E)).astype(np.float32))
 
     @jax.jit
     def f(e):
         return jax.value_and_grad(
-            lambda ee: knn_loss.knn_loss_fused(ee, graph, chunk, False))(e)
+            lambda ee: knn_loss.knn_loss_fused(ee, graph, K, False))(e)
 
     loss, g = f(emb)
     jax.block_until_ready(g)

@@ -167,7 +167,7 @@ def test_update_knn_cache_builds_consistent_graph():
     """The prepared graph's fused loss equals the oracle formula the trainer
     used to call directly (masked mean over the alive&non-tongue rows)."""
     from ed3dgs_tpu.ops.knn_loss import knn_loss_fused
-    from ed3dgs_tpu.train.trainer import KNN_CHUNK, update_knn_cache
+    from ed3dgs_tpu.train.trainer import update_knn_cache
 
     rng = np.random.default_rng(7)
     pts = rng.uniform(-1, 1, (60, 3)).astype(np.float32)
@@ -176,7 +176,7 @@ def test_update_knn_cache_builds_consistent_graph():
     cache = update_knn_cache(params, aux, tongue_enabled=False, k=5)
     emb = params.embedding
 
-    v = knn_loss_fused(emb, cache.graph, KNN_CHUNK, True)
+    v = knn_loss_fused(emb, cache.graph, 5, True)
 
     tongue = jnp.round(aux.tongue_class[:, 0]) > 0.5
     mask = aux.alive & ~tongue
