@@ -115,34 +115,46 @@ def temporal_embedding(weight: jnp.ndarray, t: jnp.ndarray, cur_emb) -> jnp.ndar
     return (1.0 - f) * r0 + f * r1
 
 
-def _run_feature(layers, h):
-    h = h @ layers[0]["w"] + layers[0]["b"]
+def _dot(h, layer, dtype):
+    """Linear layer at the tower activation dtype; the MXU accumulates in
+    f32 either way (preferred_element_type), only the HBM-resident
+    activation tensors change width."""
+    w = layer["w"].astype(dtype)
+    b = layer["b"].astype(dtype)
+    return (jax.lax.dot_general(h, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            .astype(dtype) + b)
+
+
+def _run_feature(layers, h, dtype=jnp.float32):
+    h = _dot(h.astype(dtype), layers[0], dtype)
     for layer in layers[1:]:
-        h = jax.nn.relu(h) @ layer["w"] + layer["b"]
+        h = _dot(jax.nn.relu(h), layer, dtype)
     return h
 
 
-def _run_head(head, h):
-    x = jax.nn.relu(h) @ head[0]["w"] + head[0]["b"]
-    return jax.nn.relu(x) @ head[1]["w"] + head[1]["b"]
+def _run_head(head, h, dtype=jnp.float32):
+    x = _dot(jax.nn.relu(h), head[0], dtype)
+    return _dot(jax.nn.relu(x), head[1], dtype).astype(jnp.float32)
 
 
 def _tower_deform(tower, cfg, emb_t, embedding, xyz, scales, rotations, opacity,
                   sh, coef, coef_c, coef_o, coef_s):
     """query_time + deform for one tower (scene/deformation.py:72-106)."""
     n = xyz.shape[0]
+    dt = jnp.bfloat16 if getattr(cfg, "bf16_activations", False) else jnp.float32
     h = jnp.concatenate([jnp.broadcast_to(emb_t[None, :], (n, emb_t.shape[0])),
                          embedding], axis=-1)
-    h = _run_feature(tower["feature"], h)
-    xyz = xyz + _run_head(tower["heads"]["pos"], h) * coef
+    h = _run_feature(tower["feature"], h, dt)
+    xyz = xyz + _run_head(tower["heads"]["pos"], h, dt) * coef
     if not cfg.no_ds:
-        scales = scales + _run_head(tower["heads"]["scale"], h) * coef * coef_s
+        scales = scales + _run_head(tower["heads"]["scale"], h, dt) * coef * coef_s
     if not cfg.no_dr:
-        rotations = rotations + _run_head(tower["heads"]["rot"], h) * coef
+        rotations = rotations + _run_head(tower["heads"]["rot"], h, dt) * coef
     if not cfg.no_do:
-        opacity = opacity + _run_head(tower["heads"]["opacity"], h) * coef * coef_o
+        opacity = opacity + _run_head(tower["heads"]["opacity"], h, dt) * coef * coef_o
     if not cfg.no_dc:
-        dc = _run_head(tower["heads"]["sh"], h).reshape(n, 16, 3)
+        dc = _run_head(tower["heads"]["sh"], h, dt).reshape(n, 16, 3)
         sh = sh + dc * coef_c
     return xyz, scales, rotations, opacity, sh
 

@@ -120,11 +120,17 @@ def test_static_scene_converges_past_28db_with_densify():
 
 
 @pytest.mark.slow
-def test_deformation_learns_motion_at_held_out_time():
+@pytest.mark.parametrize("bf16_mlp", [False, True],
+                         ids=["f32", "bf16_activations"])
+def test_deformation_learns_motion_at_held_out_time(bf16_mlp):
     """A globally swaying scene, one timestep held out: the trained model's
     render at the held-out time must beat a far-off-time render by >= 3 dB —
     i.e. the temporal embedding + deformation MLP interpolate real motion,
-    they don't just average it away."""
+    they don't just average it away.
+
+    Runs twice: the reference-exact f32 towers and the bf16-activation mode
+    (DeformHiddenConfig.bf16_activations) — the convergence A/B gating the
+    quality deviation of the bf16 fast path."""
     w = h = 48
     n, cap = 60, 128
     rng = np.random.default_rng(0)
@@ -146,7 +152,8 @@ def test_deformation_learns_motion_at_held_out_time():
                         pair_capacity=1 << 14, max_per_tile=256, chunk=32)
     hidden = DeformHiddenConfig(net_width=64, defor_depth=1, use_anneal=False,
                                 min_embeddings=6, max_embeddings=12,
-                                c2f_temporal_iter=200, total_num_frames=6)
+                                c2f_temporal_iter=200, total_num_frames=6,
+                                bf16_activations=bf16_mlp)
     # 10x LRs: the reference schedule is built for 80k iterations
     opt_cfg = OptimizationConfig(
         deformation_lr_init=0.0016, deformation_lr_final=0.00016,

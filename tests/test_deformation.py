@@ -80,7 +80,9 @@ def test_deform_forward_shapes_and_anneal():
 
 
 def test_deform_eval_offset_mean():
-    cfg = DeformHiddenConfig()
+    # f32: asserts two *different* effective-time computations agree to 1e-6,
+    # which bf16 activation rounding would smear
+    cfg = DeformHiddenConfig(bf16_activations=False)
     params = init_deform_params(jax.random.PRNGKey(0), cfg)
     params["offsets"] = params["offsets"].at[3, 0].set(0.02).at[7, 0].set(0.04)
     n = 4
