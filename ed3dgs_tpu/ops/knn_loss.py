@@ -73,7 +73,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BA = 256            # ranks per block (and far pairs per chunk)
 _WIN = 3 * _BA       # centered window rows per block
 _EPS = 1e-20         # matches train/losses.py sqrt epsilon
-_BIG = jnp.int32(2147480000)
+_BIG = 2147480000   # plain int: a module-level jnp call would
+#                     initialize the backend before jax.distributed
 
 
 class KnnGraph(NamedTuple):
