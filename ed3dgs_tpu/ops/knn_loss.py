@@ -19,7 +19,8 @@ amortizes to ~0):
   * per 256-rank block, neighbor embeddings come from a CENTERED 3-block
     window (rows of rank blocks b-1, b, b+1 — contiguous, streamed by
     BlockSpec, no gather) plus a small per-block SPILL list of the distinct
-    out-of-window neighbor ranks — the only gathered rows (~0.2M vs 4.1M);
+    out-of-window neighbor ranks; the per-step gather shrinks from 4.1M
+    rows (7.4 ms) to 0.7M (permutation + both spill lists, 1.3 ms);
   * inside the kernel every needed row is reconstructed by a one-hot
     membership matmul  g_t [E, 256] = src [S, E] (x) onehot [S, 256]
     contracted over the source dim. Measured on v5e: Mosaic lowers this
