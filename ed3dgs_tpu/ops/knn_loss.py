@@ -102,6 +102,10 @@ class KnnGraph(NamedTuple):
     live_f: jnp.ndarray      # [Gf] s32 1 for real schedule steps, 0 for the
     #                          capacity-padding steps (compute skipped)
     overflow: jnp.ndarray    # [3] s32 dropped counts: (spill_a, spill_b, far)
+    ktag: jnp.ndarray        # [K] s32 zeros: the SHAPE statically records the
+    #                          K this graph was prepared with, so a caller
+    #                          passing a mismatched k errors instead of
+    #                          silently misreading neighbor slots
 
 
 def _morton_ranks(pts: jnp.ndarray, Cp: int):
@@ -266,6 +270,13 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
         jnp.minimum(pos_b, spill_b - 1))
     dropped_b = jnp.zeros((FAR,), bool).at[order_b].set(pos_b >= spill_b)
     fw_c = jnp.where(dropped_b, 0.0, fw_c)
+    # propagate the spill_b drop back to the pair's (i, k) slot so an
+    # overflowed pair is dropped CONSISTENTLY from loss, dL/de_i (main pass)
+    # and dL/de_j (far pass) — order_f IS the flat pair index per far row
+    fpid_c = jnp.pad(order_f[:take].astype(jnp.int32), (0, FAR - take))
+    drop_hits = jnp.zeros((Cp * K,), jnp.int32).at[fpid_c].add(
+        (dropped_b & fvalid).astype(jnp.int32))
+    w_eff = jnp.where(drop_hits.reshape(Cp, K) > 0, 0.0, w_eff)
 
     z = jnp.zeros((FAR,), jnp.float32)
     far_aux = jnp.stack([
@@ -276,8 +287,9 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
     # >=1 chunk per block so every window image gets zero-initialized ----
     blocks = jnp.arange(na, dtype=jnp.int32)
     starts = jnp.searchsorted(bjf, blocks, side="left").astype(jnp.int32)
-    # pad rows have bjf = 0 (fj_c pad 0): exclude them from block 0's range
-    # by searching within the valid prefix only
+    # invalid/pad far rows map to rank Cp-1, i.e. they sort to the LAST
+    # block (na-1); clamping starts/ends to the valid prefix [0, n_far)
+    # excludes them from every block's range
     nval = jnp.minimum(n_far, FAR)
     starts = jnp.minimum(starts, nval)
     ends = jnp.minimum(
@@ -312,7 +324,8 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
         pi=pi, inv=inv, lidx_a=lidx_a, aux_a=aux_a,
         spill_a=pi[table_a], spill_b=pi[table_b], far_aux=far_aux,
         blk_f=blk_f, chp_f=chp_f, live_f=live_f,
-        overflow=jnp.stack([ovf_a, ovf_b, ovf_far]).astype(jnp.int32))
+        overflow=jnp.stack([ovf_a, ovf_b, ovf_far]).astype(jnp.int32),
+        ktag=jnp.zeros((K,), jnp.int32))
 
 
 def _main_kernel(lidx_ref, aux_ref, wlo_ref, wmid_ref, whi_ref, sp_ref,
@@ -419,6 +432,11 @@ def _band_sum(dj_blocks):
 
 def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
     C, E = emb.shape
+    if K != graph.ktag.shape[0]:
+        raise ValueError(
+            f"knn_loss_fused called with k={K} but the graph was prepared "
+            f"with K={graph.ktag.shape[0]} (neighbor slots would be "
+            f"silently dropped or misread)")
     Cp = graph.pi.shape[0]
     na = Cp // _BA
     K1p = graph.lidx_a.shape[0] // na
@@ -435,8 +453,16 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
     all_ids = jnp.concatenate(
         [graph.pi, graph.spill_a.reshape(-1), graph.spill_b.reshape(-1)])
     gall = emb_p[all_ids]                            # [Cp+na*(SPA+SPB), E]
-    spa0 = Cp // SPA                                 # spill_a block offset
-    spb0 = (Cp + na * SPA) // SPB                    # spill_b block offset
+    # Slice the one gathered buffer into the three kernel operands. The
+    # gather stays ONE op (a single VMEM-staging decision, see above); the
+    # slices are cheap contiguous copies. Indexing the spill sections of
+    # gall directly through BlockSpec block offsets (Cp // SPA) is only
+    # correct when SPA divides Cp — e.g. Cp=3072 with a 2048 bucket
+    # truncates and reads misaligned rows — so the slices are load-bearing,
+    # not cosmetic.
+    g_win = jax.lax.slice_in_dim(gall, 0, Cp)
+    g_spa = jax.lax.slice_in_dim(gall, Cp, Cp + na * SPA)
+    g_spb = jax.lax.slice_in_dim(gall, Cp + na * SPA, Cp + na * (SPA + SPB))
 
     de_t, dj_blocks, lp = pl.pallas_call(
         functools.partial(_main_kernel, K=K, SPA=SPA),
@@ -447,7 +473,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
             pl.BlockSpec((_BA, E), lambda b: (jnp.maximum(b - 1, 0), 0)),
             pl.BlockSpec((_BA, E), lambda b: (b, 0)),
             pl.BlockSpec((_BA, E), lambda b: (jnp.minimum(b + 1, na - 1), 0)),
-            pl.BlockSpec((SPA, E), lambda b: (spa0 + b, 0)),
+            pl.BlockSpec((SPA, E), lambda b: (b, 0)),
         ],
         out_specs=[
             pl.BlockSpec((E, _BA), lambda b: (0, b)),
@@ -460,7 +486,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
             jax.ShapeDtypeStruct((na, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(graph.lidx_a, graph.aux_a, gall, gall, gall, gall)
+    )(graph.lidx_a, graph.aux_a, g_win, g_win, g_win, g_spa)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -474,7 +500,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
             pl.BlockSpec((_BA, E),
                          lambda g, blk, chp, lv: (jnp.minimum(blk[g] + 1,
                                                               na - 1), 0)),
-            pl.BlockSpec((SPB, E), lambda g, blk, chp, lv: (spb0 + blk[g], 0)),
+            pl.BlockSpec((SPB, E), lambda g, blk, chp, lv: (blk[g], 0)),
         ],
         out_specs=pl.BlockSpec((1, E, _WIN),
                                lambda g, blk, chp, lv: (blk[g], 0, 0)),
@@ -485,7 +511,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((na, E, _WIN), jnp.float32),
         interpret=interpret,
     )(graph.blk_f, graph.chp_f, graph.live_f, graph.far_aux,
-      gall, gall, gall, gall)
+      g_win, g_win, g_win, g_spb)
 
     dj_t = _band_sum(dj_blocks + djf_blocks)         # [E, Cp]
     demb_rank = (de_t + dj_t).T                      # [Cp, E]

@@ -112,3 +112,47 @@ def test_knn_loss_overflow_surfaced_and_deterministic():
     assert float(v3) == pytest.approx(float(v0), rel=1e-5)
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g0),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_knn_loss_spill_capacity_not_dividing_cp():
+    """Regression (advisor r4, high): spill capacities that do NOT divide Cp
+    (Cp=3072 with 2048 buckets) must still match the oracle exactly — the
+    adaptive doubling buckets in tools/train.py can produce such shapes."""
+    emb, pts, idx, w, coef = _problem(2100, 20, 32, seed=5, spatial=False)
+    graph = prepare_knn_graph(idx, w, coef, pts, spill_a=2048, spill_b=2048,
+                              far_capacity=None)
+    assert int(jnp.sum(graph.overflow)) == 0
+    v, g = jax.value_and_grad(
+        lambda e: knn_loss_fused(e, graph, 20, True))(emb)
+    v0, g0 = jax.value_and_grad(lambda e: knn_loss_ref(e, idx, w, coef))(emb)
+    assert float(v) == pytest.approx(float(v0), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_knn_loss_overflow_grad_consistent_with_loss():
+    """With spill_b overflow the returned gradient must be the TRUE gradient
+    of the returned loss (dropped pairs leave loss, de_i and de_j together):
+    directional finite differences of the fused loss match <grad, dir>."""
+    emb, pts, idx, w, coef = _problem(2200, 20, 32, seed=7, spatial=False)
+    graph = prepare_knn_graph(idx, w, coef, pts, spill_a=512, spill_b=256,
+                              far_capacity=None)
+    assert int(graph.overflow[1]) > 0          # spill_b must actually drop
+    f = lambda e: knn_loss_fused(e, graph, 20, True)
+    v, g = jax.value_and_grad(f)(emb)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        d = jnp.asarray(rng.normal(size=emb.shape), jnp.float32)
+        h = 1e-3
+        fd = (float(f(emb + h * d)) - float(f(emb - h * d))) / (2 * h)
+        an = float(jnp.vdot(g, d))
+        assert fd == pytest.approx(an, rel=2e-2, abs=1e-4)
+
+
+def test_knn_loss_k_mismatch_raises():
+    """A k different from the K the graph was prepared with must error,
+    not silently drop/misread neighbor slots (advisor r4)."""
+    emb, pts, idx, w, coef = _problem(300, 5, 16, seed=2)
+    graph = prepare_knn_graph(idx, w, coef, pts)
+    with pytest.raises(ValueError, match="prepared with K=5"):
+        knn_loss_fused(emb, graph, 20, True)
