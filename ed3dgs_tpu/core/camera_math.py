@@ -111,7 +111,12 @@ def points_to_normal(points: jnp.ndarray) -> jnp.ndarray:
     dx = points[:, 2:, 1:-1] - points[:, :-2, 1:-1]
     dy = points[:, 1:-1, 2:] - points[:, 1:-1, :-2]
     n = jnp.cross(dx, dy, axisa=0, axisb=0, axisc=0)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=0, keepdims=True), 1e-12)
+    # safe normalize with the double-where pattern: at degenerate (flat /
+    # background) pixels the cross product is exactly 0 and sqrt's backward
+    # is NaN there; 0 * NaN would poison every upstream gradient
+    d2 = jnp.sum(n * n, axis=0, keepdims=True)
+    ok = d2 > 1e-24
+    n = jnp.where(ok, n / jnp.sqrt(jnp.where(ok, d2, 1.0)), 0.0)
     return jnp.pad(n, ((0, 0), (1, 1), (1, 1)))
 
 

@@ -186,7 +186,14 @@ def project_gaussians(
 
     u2, v2, uv = u * u, v * v, u * v
     nl = u2 + v2 + 1.0
-    l = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    # safe-where: a gaussian exactly AT the camera center (e.g. a zero-padded
+    # dead capacity slot with the camera at the origin) has l == 0; sqrt's
+    # backward is inf there and tx/l is 0/0 — both poison the whole gradient
+    # through the shared deform MLP even though the splat is culled. Any
+    # valid splat has l >= tz > NEAR_PLANE, so the gate never changes them.
+    l2 = tx * tx + ty * ty + tz * tz
+    l_ok = l2 > 1e-16
+    l = jnp.where(l_ok, jnp.sqrt(jnp.where(l_ok, l2, 1.0)), 1.0)
     vbn = jnp.maximum(jnp.sum(uvh_mn * uvh, axis=-1), 1e-7)
     pv = uvh_mn / vbn[:, None]
     # plane = nJ_inv @ pv with nJ_inv rows [[v2+1,-uv,-u],[-uv,u2+1,-v],[0,0,0]]
@@ -225,7 +232,9 @@ def project_gaussians(
     ray_plane = jnp.where(geom_mask, ray_plane, 0.0)
     normal = jnp.where(geom_mask, normal, 0.0)
 
-    ts = jnp.sqrt(jnp.sum(p_view * p_view, axis=-1))
+    ts2 = jnp.sum(p_view * p_view, axis=-1)
+    ts_ok = ts2 > 1e-16
+    ts = jnp.where(ts_ok, jnp.sqrt(jnp.where(ts_ok, ts2, 1.0)), 0.0)
 
     invraycov = None
     if compute_invraycov:

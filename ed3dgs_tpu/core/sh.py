@@ -96,7 +96,12 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, means: jnp.ndarray, campos: jnp.ndarray
       [N, 3] colors, clamped to >= 0 after the +0.5 offset.
     """
     d = means - campos[None, :]
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    # safe-where normalize: a (dead/culled) gaussian exactly at the camera
+    # center has d == 0; norm's backward is NaN there and would poison the
+    # whole gradient through any shared upstream (e.g. the deform MLP)
+    d2 = jnp.sum(d * d, axis=-1, keepdims=True)
+    ok = d2 > 1e-24
+    d = jnp.where(ok, d / jnp.sqrt(jnp.where(ok, d2, 1.0)), 0.0)
     return jnp.maximum(eval_sh(deg, sh, d) + 0.5, 0.0)
 
 

@@ -132,3 +132,44 @@ def test_sh_matches_torch_reference():
 def test_rgb_sh_roundtrip():
     rgb = jnp.array([[0.2, 0.5, 0.9]])
     assert np.allclose(np.asarray(sh_mod.sh_to_rgb_dc(sh_mod.rgb_to_sh(rgb))), np.asarray(rgb), atol=1e-6)
+
+
+def test_degenerate_gaussian_grads_finite():
+    """Regression: a gaussian exactly AT the camera center (zero-padded dead
+    slot, camera at origin) must not poison gradients — sqrt/normalize at 0
+    in sh_to_rgb, projection l/ts, and points_to_normal all NaN'd before."""
+    import math
+
+    import jax
+
+    from ed3dgs_tpu.core.camera_math import points_to_normal
+    from ed3dgs_tpu.core.projection import project_gaussians
+    from ed3dgs_tpu.data.cameras import look_at_camera
+
+    cam = look_at_camera((0, 0, 0), (0, 0, 2.2), (0, -1, 0),
+                         math.radians(60), math.radians(60), 32, 32).matrices()
+    xyz = jnp.asarray([[0.1, 0.1, 2.2], [0.0, 0.0, 0.0]], jnp.float32)
+    scales = jnp.asarray([[0.05] * 3, [math.exp(-10)] * 3], jnp.float32)
+    quats = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (2, 1))
+
+    def f(x):
+        p = project_gaussians(
+            x, scales, quats, jnp.asarray([0.9, 0.5]),
+            jnp.ones((2, 16, 3)) * 0.3,
+            viewmatrix=jnp.asarray(cam.world_view),
+            projmatrix=jnp.asarray(cam.full_proj),
+            campos=jnp.asarray(cam.campos), width=32, height=32,
+            tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+            focal_x=cam.focal_x, focal_y=cam.focal_y, sh_degree=3)
+        return sum(jnp.sum(getattr(p, f).astype(jnp.float32)) for f in
+                   ("mean2d", "depth", "conic", "opacity", "camera_planes",
+                    "ray_plane", "normal", "ts", "rgb"))
+
+    g = jax.grad(f)(xyz)
+    assert bool(jnp.isfinite(g).all()), np.asarray(g)
+
+    # flat coord regions (background pixels) in points_to_normal
+    pts = jnp.zeros((3, 8, 8)).at[:, :4, :4].set(
+        jnp.arange(48, dtype=jnp.float32).reshape(3, 4, 4) * 0.1)
+    gn = jax.grad(lambda p: jnp.sum(points_to_normal(p)))(pts)
+    assert bool(jnp.isfinite(gn).all())
