@@ -118,3 +118,44 @@ def test_deform_gradients():
     assert np.abs(np.asarray(g["weight"])).max() > 0
     assert np.abs(np.asarray(g["coarse"]["feature"][0]["w"])).max() > 0
     assert np.abs(np.asarray(g["fine"]["heads"]["pos"][1]["w"])).max() > 0
+
+
+def test_bf16_flag_off_is_f32_exact_and_load_bearing():
+    """BASELINE parity pin: bf16_activations=False must reproduce the pure-
+    f32 tower bit-for-bit (same inputs -> identical bits across calls, and
+    equal to an explicit f32 jnp recomputation), while the default-on bf16
+    path must actually differ (the flag is load-bearing)."""
+    import dataclasses
+
+    from ed3dgs_tpu.config.params import DeformHiddenConfig
+    from ed3dgs_tpu.models.deformation import deform_forward, init_deform_params
+
+    cfg32 = DeformHiddenConfig(net_width=32, defor_depth=2, min_embeddings=4,
+                               max_embeddings=8, temporal_embedding_dim=16,
+                               gaussian_embedding_dim=8,
+                               bf16_activations=False)
+    cfg16 = dataclasses.replace(cfg32, bf16_activations=True)
+    params = init_deform_params(jax.random.PRNGKey(3), cfg32)
+    rng = np.random.default_rng(5)
+    N = 32
+    args = (jnp.asarray(rng.normal(size=(N, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(N, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(N, 4)), jnp.float32),
+            jnp.asarray(rng.normal(size=(N, 1)), jnp.float32),
+            jnp.asarray(rng.normal(size=(N, 16, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(N, 8)), jnp.float32))
+
+    def run(cfg):
+        (out, _) = deform_forward(params, cfg, *args, jnp.float32(0.4), 500,
+                                  cam_no=jnp.int32(0), num_down_emb_c=4,
+                                  num_down_emb_f=4)[0:2]
+        return [np.asarray(x) for x in out]
+
+    a = run(cfg32)
+    b = run(cfg32)
+    c = run(cfg16)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)       # f32 path deterministic
+    assert any(not np.array_equal(x, z) for x, z in zip(a, c))  # flag real
+    for x, z in zip(a, c):                        # and bf16 stays close
+        np.testing.assert_allclose(z, x, rtol=0.03, atol=0.03)
