@@ -46,14 +46,13 @@ def raster_config_from_camera(cam: CameraMatrices, **kw) -> RasterConfig:
                         focal_x=cam.focal_x, focal_y=cam.focal_y, **kw)
 
 
-def render(
+def project_for_render(
     params: gm.GaussianParams,
     aux: gm.GaussianAux,
     deform_params,
     hidden_cfg: DeformHiddenConfig,
     settings: RenderSettings,
     raster_cfg: RasterConfig,
-    bg: jnp.ndarray,
     *,
     iteration=0,
     sh_degree: int = 3,
@@ -65,19 +64,12 @@ def render(
     tongue_filter: Optional[str] = None,  # None | "only" | "without"
     mean2d_offset: Optional[jnp.ndarray] = None,
     active_sh_degree=None,
-    mesh=None,
-    send_capacity: Optional[int] = None,
-) -> dict:
-    """One differentiable render (reference gaussian_renderer.render :8-142).
-
-    tongue_filter implements render_tongue / render_without_tongue
-    (:145-431): the full set is deformed, then only the (non-)tongue subset
-    rasterized via the validity mask.
-
-    mesh: optional jax Mesh with a "gauss" axis — renders this one camera
-    across all chips via tile-sharded rasterization
-    (parallel/tile_sharded.py); params/aux should be gauss-sharded.
-    """
+):
+    """Deform -> activate -> project one camera: the per-camera first half of
+    render(), split out so the batched strip-exchange trainer path (--comms
+    strip) can vmap THIS over cameras and hoist the single collective
+    rasterize out of the vmap (all_to_all does not compose with vmap).
+    Returns (proj, shs_f, xyz_f, extras)."""
     shs = gm.get_features(params)
     if disable_deform:
         xyz_f, scales_f = params.xyz, params.scaling
@@ -124,6 +116,48 @@ def render(
         kernel_size=kernel_size, sh_degree=sh_degree, mask=mask,
         mean2d_offset=mean2d_offset,
     )
+    return proj, shs_f, xyz_f, extras
+
+
+def render(
+    params: gm.GaussianParams,
+    aux: gm.GaussianAux,
+    deform_params,
+    hidden_cfg: DeformHiddenConfig,
+    settings: RenderSettings,
+    raster_cfg: RasterConfig,
+    bg: jnp.ndarray,
+    *,
+    iteration=0,
+    sh_degree: int = 3,
+    kernel_size: float = 0.0,
+    disable_filter3d: bool = True,
+    disable_deform: bool = False,
+    num_down_emb_c: int = 30,
+    num_down_emb_f: int = 30,
+    tongue_filter: Optional[str] = None,  # None | "only" | "without"
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    active_sh_degree=None,
+    mesh=None,
+    send_capacity: Optional[int] = None,
+) -> dict:
+    """One differentiable render (reference gaussian_renderer.render :8-142).
+
+    tongue_filter implements render_tongue / render_without_tongue
+    (:145-431): the full set is deformed, then only the (non-)tongue subset
+    rasterized via the validity mask.
+
+    mesh: optional jax Mesh with a "gauss" axis — renders this one camera
+    across all chips via tile-sharded rasterization
+    (parallel/tile_sharded.py); params/aux should be gauss-sharded.
+    """
+    proj, shs_f, xyz_f, extras = project_for_render(
+        params, aux, deform_params, hidden_cfg, settings, raster_cfg,
+        iteration=iteration, sh_degree=sh_degree, kernel_size=kernel_size,
+        disable_filter3d=disable_filter3d, disable_deform=disable_deform,
+        num_down_emb_c=num_down_emb_c, num_down_emb_f=num_down_emb_f,
+        tongue_filter=tongue_filter, mean2d_offset=mean2d_offset,
+        active_sh_degree=active_sh_degree)
     send_overflow = None
     if mesh is not None:
         # multi-chip single-camera scaling: Gaussian-sharded projection above,
@@ -134,7 +168,11 @@ def render(
             send_capacity=send_capacity)
     else:
         out = rasterize(proj, aux.tongue_class[:, 0], bg, raster_cfg)
+    return assemble_outputs(out, proj, shs_f, xyz_f, extras, send_overflow)
 
+
+def assemble_outputs(out, proj, shs_f, xyz_f, extras, send_overflow=None):
+    """RasterOutputs + projection residues -> the reference's output dict."""
     # true (tile, gaussian) pair demand of this view — the trainer uses it to
     # right-size the static pair_capacity (all binning/sort/gather/kernel
     # costs scale with it; an oversized buffer measured 113 vs 85 ms/step)

@@ -40,6 +40,12 @@ def parse_args(argv=None):
                         "'data=2,gauss=4' (0 = the rest). Multi-host runs "
                         "also need JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
                         "JAX_PROCESS_ID in the environment.")
+    p.add_argument("--comms", default="gspmd", choices=["gspmd", "strip"],
+                   help="mesh-mode rasterizer comms: 'gspmd' (annotated "
+                        "shardings; GSPMD all-gathers the projected payload "
+                        "per camera) or 'strip' (explicit strip exchange: "
+                        "one all_to_all per local camera, blend sharded "
+                        "over image strips; parallel/tile_sharded.py)")
     p.add_argument("--save_iterations", type=int, nargs="+", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="+", default=[])
     p.add_argument("--start_checkpoint", default=None,
@@ -261,6 +267,9 @@ def run_training(cfg, args):
         pair_capacity=opt.pair_capacity, chunk=opt.raster_chunk,
         backend=opt.raster_backend,
         max_per_tile=2048)
+    comms = args.comms if mesh is not None else "gspmd"
+    strip_caps = {"send": max(64, -(-2 * capacity //
+                                    (mesh.shape["gauss"] if mesh else 1)))}
     setup = TrainSetup(
         raster=rcfg, hidden=hidden, batch_size=opt.batch_size,
         white_background=model.white_background, kernel_size=model.kernel_size,
@@ -275,7 +284,9 @@ def run_training(cfg, args):
         colmap_supervision=model.colmap_supervision_enabled,
         deform_from_iter=hidden.deform_from_iter,
         # vmap keeps B a real batch axis for the "data" mesh partition
-        batch_mode="vmap" if mesh is not None else "scan")
+        batch_mode="vmap" if mesh is not None else "scan",
+        comms=comms, mesh=mesh,
+        send_capacity=strip_caps["send"] if comms == "strip" else None)
 
     state, optimizer = init_train_state(scene.params, hidden, opt,
                                         scene.cameras_extent, seed=args.seed)
@@ -503,7 +514,7 @@ def run_training(cfg, args):
     cap_policy = CapacityPolicy(capacity=rcfg.pair_capacity)
     cap_policy.start(first_iter)
 
-    def maybe_resize_capacity(iteration, num_pairs):
+    def maybe_resize_capacity(iteration, num_pairs, send_overflow=0):
         nonlocal rcfg, setup, step_fn
         want = cap_policy.observe(iteration, num_pairs)
         if want is not None:
@@ -512,6 +523,15 @@ def run_training(cfg, args):
                       f"{want} (re-jit)", flush=True)
             rcfg = replace(rcfg, pair_capacity=want)
             setup = replace(setup, raster=rcfg)
+            step_fn = make_step(setup)
+        if comms == "strip" and send_overflow > strip_caps["send"]:
+            # strip buffers truncated the deepest splats: grow + re-jit
+            # (same contract as the rasterizer's pair-capacity buckets)
+            while strip_caps["send"] < send_overflow:
+                strip_caps["send"] *= 2
+            print(f"[{iteration}] strip send_capacity -> "
+                  f"{strip_caps['send']} (re-jit)", flush=True)
+            setup = replace(setup, send_capacity=strip_caps["send"])
             step_fn = make_step(setup)
 
     pending = sample_batch(first_iter)
@@ -540,7 +560,8 @@ def run_training(cfg, args):
                               else to_host(metrics["l1_items"]))
         sampler.record_loss([cam_index.get(c.cam_no, 0) for c in cams],
                             [c.frame_no for c in cams], l1_items)
-        maybe_resize_capacity(iteration, int(metrics["num_pairs"]))
+        maybe_resize_capacity(iteration, int(metrics["num_pairs"]),
+                              int(metrics.get("send_overflow", 0)))
         for c in local_slice(cams):
             c.release_image()
 

@@ -61,6 +61,16 @@ class TrainSetup:
     # is serial per core anyway). "vmap" keeps B a real batch axis so the
     # pjit sharded path can partition it over the "data" mesh axis.
     batch_mode: str = "scan"
+    # multi-chip rasterizer comms (SURVEY §2.11 / docs/hardware_day.md §3):
+    # "gspmd" = annotate shardings, let GSPMD all-gather the projected
+    # payload per camera (byte-bounded, g-independent — the shipped default);
+    # "strip" = the explicit strip exchange: vmapped projection, then ONE
+    # shard_map over both mesh axes whose body runs the per-camera
+    # all_to_all pack/exchange/blend (parallel/tile_sharded.py:
+    # batched_strip_rasterize). Requires batch_mode="vmap" and `mesh`.
+    comms: str = "gspmd"
+    mesh: Optional[object] = None          # jax Mesh (strip comms only)
+    send_capacity: Optional[int] = None    # per-(src,dst) strip buffer rows
 
 
 
@@ -155,6 +165,64 @@ def _render_one(params, aux, dparams, setup: TrainSetup, settings,
     )
 
 
+def _strip_render_batch(gparams, aux, dparams, setup: TrainSetup, batch_args,
+                        iteration, need_geo):
+    """Batched strip-exchange render for the sharded trainer (--comms strip).
+
+    Projection stays a vmap over cameras (embarrassingly parallel along the
+    gauss axis under GSPMD); the collective blend is hoisted OUT of the vmap
+    into one shard_map whose body exchanges each local camera's payload with
+    a single all_to_all over the gauss groups (batched_strip_rasterize) —
+    instead of GSPMD's per-camera payload all-gather. Reference analogue:
+    duplicateWithKeys feeding every tile (rasterizer_impl.cu:253-432)."""
+    from ..ops.binning import build_gaussian_payload
+    from ..parallel.tile_sharded import batched_strip_rasterize
+    from ..render import project_for_render
+
+    B = batch_args[0].shape[0]
+    active_sh = jnp.minimum(jnp.asarray(iteration, jnp.int32) // 1000,
+                            setup.sh_degree)
+
+    def project_b(vm, pm, cp, tm, cn, off):
+        settings = RenderSettings(vm, pm, cp, tm, cn)
+        proj, _, xyz_f, _ = project_for_render(
+            gparams, aux, dparams, setup.hidden, settings, setup.raster,
+            iteration=iteration, sh_degree=setup.sh_degree,
+            kernel_size=setup.kernel_size,
+            disable_filter3d=setup.disable_filter3d,
+            num_down_emb_c=setup.num_down_emb,
+            num_down_emb_f=setup.num_down_emb,
+            mean2d_offset=off, active_sh_degree=active_sh)
+        payload = build_gaussian_payload(
+            proj, aux.tongue_class[:, 0], pad=False)
+        return proj, payload, xyz_f
+
+    proj_b, payload_b, xyz_b = jax.vmap(project_b)(*batch_args)
+    valid_b = proj_b.valid & (proj_b.tiles_touched > 0)
+    bg = jnp.full((3,), 1.0 if setup.white_background else 0.0)
+    out_b, send_ovf = batched_strip_rasterize(
+        payload_b, proj_b.depth, valid_b, proj_b.rect_min, proj_b.rect_max,
+        bg, setup.raster, setup.mesh, send_capacity=setup.send_capacity)
+
+    renders = {
+        "render": out_b.color,
+        "radii": proj_b.radius,
+        "visibility_filter": proj_b.radius > 0,
+        "expected_depth": out_b.expected_depth,
+        "median_depth": out_b.median_depth,
+        "normal": out_b.normal,
+        "expected_coord": out_b.expected_coord,
+        "median_coord": out_b.median_coord,
+        "tongue_mask": out_b.tongue,
+        "num_pairs": jnp.sum(
+            jnp.where(valid_b, proj_b.tiles_touched, 0), axis=1),
+        "tile_overflow": jnp.broadcast_to(out_b.tile_overflow, (B,)),
+    }
+    if setup.colmap_supervision:
+        renders["deformed_gaussian_positions"] = xyz_b
+    return renders, send_ovf
+
+
 def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
                     optimizer, jit: bool = True):
     """Build the jitted train step. Batch entries (all leading dim B):
@@ -185,7 +253,12 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
 
         batch_args = (batch["viewmatrix"], batch["projmatrix"],
                       batch["campos"], batch["time"], batch["cam_no"], offsets)
-        if setup.batch_mode == "scan":
+        send_ovf = None
+        if setup.comms == "strip":
+            renders, send_ovf = _strip_render_batch(
+                gparams, aux, dparams, setup, batch_args, iteration,
+                reg_kick_on)
+        elif setup.batch_mode == "scan":
             renders = jax.lax.map(lambda a: render_b(*a), batch_args)
         else:
             renders = jax.vmap(render_b)(*batch_args)
@@ -289,6 +362,11 @@ def make_train_step(setup: TrainSetup, opt_cfg: OptimizationConfig,
             "pcd_loss": pcd_loss,
             "num_pairs": jnp.max(renders["num_pairs"]),
             "tile_overflow": jnp.any(renders["tile_overflow"]),
+            # strip comms only: max per-(src,dst) splat demand; > the
+            # configured send_capacity means deepest splats were dropped and
+            # the driver should re-jit with a larger buffer
+            "send_overflow": (jnp.int32(0) if send_ovf is None
+                              else send_ovf.astype(jnp.int32)),
             **tongue_losses,
         }
         return loss, (metrics, radii, visible)

@@ -77,6 +77,24 @@ for name, g in (("g8", 8), ("g32", 32)):
                    out_shardings=(st_sh, aux_sh, None))
     comp = step.lower(state, aux, batch, knn_cache).compile()
     out[name] = summarize(audit_compiled(comp))
+
+# --comms strip at the same production shape (g=8): the explicit strip
+# exchange replaces the GSPMD payload all-gather in the TRAIN step
+from dataclasses import replace as dc_replace
+from ed3dgs_tpu.parallel.hlo_audit import count_stablehlo_collectives
+mesh = make_mesh(data=1, gauss=8)
+setup_s = dc_replace(setup, batch_mode="vmap", comms="strip", mesh=mesh)
+raw_strip = make_train_step(setup_s, opt_cfg, build_optimizer(opt_cfg, 1.0),
+                            jit=False)
+st_sh = state_shardings(mesh, state)
+aux_sh = aux_shardings(mesh, aux)
+in_sh = (st_sh, aux_sh, batch_shardings(mesh, batch),
+         replicated(mesh, knn_cache))
+step_s = jax.jit(raw_strip, in_shardings=in_sh,
+                 out_shardings=(st_sh, aux_sh, None))
+low = step_s.lower(state, aux, batch, knn_cache)
+out["strip8_intent"] = count_stablehlo_collectives(low.as_text())
+out["strip8"] = summarize(audit_compiled(low.compile()))
 print("AUDIT " + json.dumps(out))
 """
 
@@ -113,3 +131,16 @@ def test_production_shape_collective_bytes(tmp_path):
     t8 = sum(e["bytes"] for e in audit["g8"].values())
     t32 = sum(e["bytes"] for e in audit["g32"].values())
     assert t32 <= t8 * 1.1, (t8, t32)
+
+    # --comms strip contract at the same shape: the lowered program's
+    # communication INTENT is the explicit strip exchange (>=1 all-to-all:
+    # forward + its transpose in the backward; CPU may legally rewrite them
+    # to collective-permutes after compile), and the COMPILED module never
+    # all-gathers a payload-sized array — that gather is exactly what the
+    # flag removes.
+    intent = audit["strip8_intent"]
+    assert intent.get("all-to-all", 0) >= 2, intent
+    s = audit["strip8"]
+    for kind, e in s.items():
+        if kind == "all-gather":
+            assert e["max_bytes"] < payload // 2, (kind, e)

@@ -91,3 +91,31 @@ def test_mesh_cli_densify_and_checkpoint(scene_dir, tmp_path):
         ["densify_from_iter=100", "densify_until_iter=0"])
     assert os.path.exists(os.path.join(
         model_dir, "point_cloud", "iteration_14", "point_cloud.ply"))
+
+
+def test_mesh_cli_strip_comms_matches_single_chip(scene_dir, tmp_path):
+    """--comms strip (explicit all_to_all strip exchange in the TRAIN step)
+    reproduces single-chip training: the hardware-day A/B is a flag flip."""
+    from ed3dgs_tpu.tools import train as train_tool
+
+    args = (["--iterations", "8", "--save_iterations", "8", "--set"]
+            + COMMON_SET + ["densify_from_iter=100", "densify_until_iter=0"])
+    a1 = train_tool.parse_args(
+        ["-s", scene_dir, "-m", str(tmp_path / "m1")] + COMMON + args)
+    cfg1 = train_tool.build_config(a1)
+    _, s1, aux1 = train_tool.run_training(cfg1, a1)
+
+    a2 = train_tool.parse_args(
+        ["-s", scene_dir, "-m", str(tmp_path / "m2")] + COMMON
+        + ["--mesh", "data=2,gauss=4", "--comms", "strip"] + args)
+    cfg2 = train_tool.build_config(a2)
+    _, s2, aux2 = train_tool.run_training(cfg2, a2)
+
+    x1 = np.asarray(s1.params["gaussians"].xyz)
+    x2 = np.asarray(s2.params["gaussians"].xyz)
+    np.testing.assert_allclose(x2, x1, atol=2e-4)
+    w1 = np.asarray(s1.params["deform"]["weight"])
+    w2 = np.asarray(s2.params["deform"]["weight"])
+    np.testing.assert_allclose(w2, w1, atol=2e-5)
+    assert np.array_equal(np.asarray(aux1.alive), np.asarray(aux2.alive))
+    assert tuple(s2.params["gaussians"].xyz.sharding.spec)[0] == "gauss"
