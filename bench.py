@@ -33,13 +33,10 @@ def _flag_suspect(name, dt):
           file=sys.stderr)
 
 
-def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
-    import jax
+def _scene(n=100_000, w=802, h=550):
     import jax.numpy as jnp
 
-    from ed3dgs_tpu.core.projection import project_gaussians
     from ed3dgs_tpu.data.cameras import look_at_camera
-    from ed3dgs_tpu.ops.rasterize import RasterConfig, rasterize
 
     rng = np.random.default_rng(0)
     means = np.stack([rng.uniform(-1.0, 1.0, n), rng.uniform(-0.7, 0.7, n),
@@ -54,12 +51,22 @@ def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
     fov = math.radians(50.0)
     cam = look_at_camera((0, 0, 0), (0, 0, 2.0), (0, -1, 0), fov,
                          2 * math.atan(math.tan(fov / 2) * h / w), w, h).matrices()
-
     args = dict(
         viewmatrix=jnp.asarray(cam.world_view), projmatrix=jnp.asarray(cam.full_proj),
         campos=jnp.asarray(cam.campos), width=w, height=h,
         tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
         focal_x=cam.focal_x, focal_y=cam.focal_y, kernel_size=0.1, sh_degree=3)
+    return means, scales, q, opac, shs, tongue, cam, args
+
+
+def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
+    import jax
+    import jax.numpy as jnp
+
+    from ed3dgs_tpu.core.projection import project_gaussians
+    from ed3dgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    means, scales, q, opac, shs, tongue, cam, args = _scene(n, w, h)
 
     def forward(backend):
         # capacity sized to the workload (~790k pairs with tight rects;
@@ -123,6 +130,106 @@ def time_fn(f, fargs, iters=20):
             return dt
     _flag_suspect("time_fn", dt)
     return dt
+
+
+# --- roofline model (VERDICT r4 item 6) ------------------------------------
+# v5e public peaks; VPU throughput is MODELED (8x128 vector with 4 ALUs per
+# lane position at ~1.5 GHz — the clock implied by 197 TF/s bf16 over four
+# 128x128 MXUs). Utilization numbers below are relative to this model, so
+# they are comparable across rounds but not vendor-certified.
+PEAK_HBM_BPS = 819e9
+PEAK_MXU_F32 = 49e12
+PEAK_VPU_OPS = 8 * 128 * 4 * 1.5e9          # ~6.1e12 element-ops/s
+VPU_OPS_PER_CHUNK_ITER = 55                  # xprof-measured blend-loop ops
+#                                              on [128, 256] (performance.md)
+
+
+def roofline(t_fwd, t_train, n=100_000, cap=100_352, w=802, h=550,
+             chunk=128, max_per_tile=2048):
+    """Modeled speed-of-light floors for the forward frame and train step vs
+    the measured times: bytes-moved / PEAK_HBM and blend-VPU / MLP-MXU floors.
+    One cheap jit computes the true pair/chunk counts of the bench workload;
+    everything else is closed-form byte/op accounting (formulas inline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ed3dgs_tpu.core.projection import project_gaussians
+    from ed3dgs_tpu.ops.binning import bin_gaussians, tile_grid
+
+    means, scales, q, opac, shs, _tongue, _cam, args = _scene(n, w, h)
+
+    @jax.jit
+    def stats(means, scales, q, opac, shs):
+        proj = project_gaussians(means, scales, q, opac, shs, **args)
+        bins = bin_gaussians(proj, width=w, height=h, pair_capacity=1 << 20)
+        c = jnp.minimum(bins.tile_count, max_per_tile)
+        return (jnp.sum(jnp.where(proj.valid, proj.tiles_touched, 0)),
+                jnp.sum(-(-c // chunk)), jnp.sum(c))
+
+    num_pairs, n_chunks, n_blend = (int(x) for x in jax.device_get(
+        stats(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(q),
+              jnp.asarray(opac), jnp.asarray(shs))))
+    gx, gy = tile_grid(w, h)
+    T = gx * gy
+    L = 128 * 4                                  # one payload row (128 lanes)
+
+    # ---- forward frame floors ----
+    # payload table write+read, pair gather write, kernel pair stream,
+    # tile-major channel write + relayout to [24, H, W]
+    fwd_bytes = (2 * n * L + num_pairs * L + n_chunks * chunk * L
+                 + 2 * T * 24 * 256 * 4 + 24 * h * w * 4)
+    fwd_hbm_ms = fwd_bytes / PEAK_HBM_BPS * 1e3
+    # blend loop: ~55 VPU ops per [chunk, 256] iteration (semantic floor is
+    # ~21; current kernel measured 50-70 — see performance.md kernel diet)
+    fwd_vpu_ops = n_chunks * VPU_OPS_PER_CHUNK_ITER * chunk * 256
+    fwd_vpu_ms = fwd_vpu_ops / PEAK_VPU_OPS * 1e3
+
+    # ---- train step floors (batch 1, the bench shape) ----
+    # raster: fwd stream + 2-pass checkpointed bwd reads + pair-grad write
+    #         + the index-rate-bound un-permute (bytes floor only)
+    raster_bytes = (fwd_bytes + 2 * n_chunks * chunk * L + num_pairs * L
+                    + 2 * num_pairs * L)
+    # KNN loss (Morton-windowed, ops/knn_loss.py): lidx+aux streams, window
+    # + spill reads for both passes, banded dj images, combined gather
+    Cp = cap + (-cap) % 1024
+    na, K1p, E, SPA, SPB = Cp // 256, 24, 32, 512, 1024
+    knn_bytes = (2 * Cp * K1p * 4                        # lidx_a + aux_a
+                 + 2 * na * (768 + SPA) * E * 4          # main pass srcs
+                 + na * (768 + SPB) * E * 4              # far pass srcs
+                 + 4 * na * E * 768 * 4                  # dj images r/w
+                 + 2 * (Cp + na * (SPA + SPB)) * E * 4)  # combined gather
+    # Adam: 91 floats/gaussian (xyz3 sc3 rot4 op1 dc3 rest45 emb32), read
+    # param+m+v, write param+m+v
+    adam_bytes = cap * 91 * 4 * 6
+    # per-gaussian elementwise tail (activations, projection, stats):
+    # ~30 [cap, 128-lane] array traversals measured in the r4 xprof
+    misc_bytes = 30 * cap * L
+    train_bytes = raster_bytes + knn_bytes + adam_bytes + misc_bytes
+    train_hbm_ms = train_bytes / PEAK_HBM_BPS * 1e3
+    # deform MLP (net 128x1, in 288): fwd 2 towers x (feature + 5 heads),
+    # backward ~2x forward flops
+    W_mlp, n_in = 128, 288
+    tower = 2 * cap * (n_in * W_mlp + 5 * (W_mlp * W_mlp + W_mlp * 12))
+    mlp_flops = 3 * 2 * tower
+    train_mxu_ms = mlp_flops / PEAK_MXU_F32 * 1e3
+
+    fwd_floor = max(fwd_hbm_ms, fwd_vpu_ms)
+    train_floor = max(train_hbm_ms, train_mxu_ms)
+    return {
+        "pairs": num_pairs, "blend_chunks": n_chunks,
+        "fwd_bytes_mb": round(fwd_bytes / 1e6, 1),
+        "fwd_hbm_floor_ms": round(fwd_hbm_ms, 3),
+        "fwd_vpu_floor_ms": round(fwd_vpu_ms, 3),
+        "fwd_measured_ms": round(t_fwd * 1e3, 2),
+        "fwd_sol_fraction": round(fwd_floor / (t_fwd * 1e3), 3),
+        "train_bytes_mb": round(train_bytes / 1e6, 1),
+        "train_hbm_floor_ms": round(train_hbm_ms, 3),
+        "train_mlp_mxu_floor_ms": round(train_mxu_ms, 3),
+        **({"train_measured_ms": round(t_train * 1e3, 2),
+            "train_sol_fraction": round(train_floor / (t_train * 1e3), 3)}
+           if t_train else {}),
+        "model": "v5e 819GB/s HBM, 49TF/s f32 MXU, VPU modeled 6.1T ops/s",
+    }
 
 
 def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
@@ -336,8 +443,13 @@ def main():
         train_ms = round(t_train * 1e3, 2)
         train_fps = round(1.0 / t_train, 2)
     except Exception:
+        t_train = None
         train_ms = None
         train_fps = None
+    try:
+        rl = roofline(t_pal, t_train)
+    except Exception as e:
+        rl = {"error": repr(e)[:200]}
     print(json.dumps({
         "metric": "render_throughput_pallas_802x550_100k",
         "value": round(mpix_s, 2),
@@ -345,6 +457,7 @@ def main():
         "vs_baseline": round(vs, 3),
         "train_step_ms_802x550_100k": train_ms,
         "train_frames_per_s": train_fps,
+        "roofline": rl,
         **({"suspect": True} if _SUSPECT else {}),
     }))
 
