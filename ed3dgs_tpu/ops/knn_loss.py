@@ -71,7 +71,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BA = 256            # ranks per block (and far pairs per chunk)
+_BA = 256            # ranks per block
+_FB = 512            # far pairs per schedule chunk: the far pass is grid-
+#                      step-overhead bound (~0.8 us/step; 2441 steps = 1.9 ms
+#                      at bench shape with 256-pair chunks), and its matmuls
+#                      are tiny — wider chunks halve the step count for the
+#                      same MXU work
 _WIN = 3 * _BA       # centered window rows per block
 _EPS = 1e-20         # matches train/losses.py sqrt epsilon
 _BIG = 2147480000   # plain int: a module-level jnp call would
@@ -102,6 +107,10 @@ class KnnGraph(NamedTuple):
     live_f: jnp.ndarray      # [Gf] s32 1 for real schedule steps, 0 for the
     #                          capacity-padding steps (compute skipped)
     overflow: jnp.ndarray    # [3] s32 dropped counts: (spill_a, spill_b, far)
+    n_far: jnp.ndarray       # [] s32 TRUE far-pair demand — lets the trainer
+    #                          shrink an oversized far bucket (each unused
+    #                          256-pair capacity chunk costs a padding grid
+    #                          step in the far pass, ~0.9 us each)
     ktag: jnp.ndarray        # [K] s32 zeros: the SHAPE statically records the
     #                          K this graph was prepared with, so a caller
     #                          passing a mismatched k errors instead of
@@ -187,8 +196,8 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
     spill_a = min(spill_a, Cp)
     spill_b = min(spill_b, Cp)
     far_capacity = min(far_capacity, Cp * K)
+    far_capacity = far_capacity + (-far_capacity) % _FB   # whole chunks
     assert spill_a % _BA == 0 and spill_b % _BA == 0
-    assert far_capacity % _BA == 0
     S_A = _WIN + spill_a
 
     idx_pad = jnp.concatenate(
@@ -283,7 +292,7 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
         fw_c, fcoef_c, li.astype(jnp.float32), lj.astype(jnp.float32),
         bjf.astype(jnp.float32), z, z, z], axis=0)       # [8, FAR]
 
-    # ---- far-pass schedule: 256-pair chunks covering each j-block's rows,
+    # ---- far-pass schedule: _FB-pair chunks covering each j-block's rows,
     # >=1 chunk per block so every window image gets zero-initialized ----
     blocks = jnp.arange(na, dtype=jnp.int32)
     starts = jnp.searchsorted(bjf, blocks, side="left").astype(jnp.int32)
@@ -294,15 +303,15 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
     starts = jnp.minimum(starts, nval)
     ends = jnp.minimum(
         jnp.searchsorted(bjf, blocks, side="right").astype(jnp.int32), nval)
-    first_ch = starts // _BA
-    nch = jnp.maximum(1, -(-(ends - first_ch * _BA) // _BA))
-    Gf = FAR // _BA + na + 1
+    first_ch = starts // _FB
+    nch = jnp.maximum(1, -(-(ends - first_ch * _FB) // _FB))
+    Gf = FAR // _FB + na + 1
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                            jnp.cumsum(nch).astype(jnp.int32)])
     g = jnp.arange(Gf, dtype=jnp.int32)
     blk_f = jnp.clip(jnp.searchsorted(cum, g, side="right").astype(jnp.int32)
                      - 1, 0, na - 1)
-    chp_f = jnp.minimum(first_ch[blk_f] + g - cum[blk_f], FAR // _BA - 1)
+    chp_f = jnp.minimum(first_ch[blk_f] + g - cum[blk_f], FAR // _FB - 1)
     live_f = (g < cum[na]).astype(jnp.int32)
 
     # ---- blocked slot arrays [na*K1p, 256]: row 0 self, rows 1..K ----
@@ -325,6 +334,7 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
         spill_a=pi[table_a], spill_b=pi[table_b], far_aux=far_aux,
         blk_f=blk_f, chp_f=chp_f, live_f=live_f,
         overflow=jnp.stack([ovf_a, ovf_b, ovf_far]).astype(jnp.int32),
+        n_far=n_far.astype(jnp.int32),
         ktag=jnp.zeros((K,), jnp.int32))
 
 
@@ -449,20 +459,26 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
     # and the spill rows of both passes. Splitting related gathers lets XLA
     # make independent VMEM-staging decisions for the source table —
     # measured one of them falling off the fast staged path (3.6 -> 20 ms)
-    # inside the full train step (round 3).
-    all_ids = jnp.concatenate(
-        [graph.pi, graph.spill_a.reshape(-1), graph.spill_b.reshape(-1)])
-    gall = emb_p[all_ids]                            # [Cp+na*(SPA+SPB), E]
-    # Slice the one gathered buffer into the three kernel operands. The
-    # gather stays ONE op (a single VMEM-staging decision, see above); the
-    # slices are cheap contiguous copies. Indexing the spill sections of
-    # gall directly through BlockSpec block offsets (Cp // SPA) is only
-    # correct when SPA divides Cp — e.g. Cp=3072 with a 2048 bucket
-    # truncates and reads misaligned rows — so the slices are load-bearing,
-    # not cosmetic.
-    g_win = jax.lax.slice_in_dim(gall, 0, Cp)
-    g_spa = jax.lax.slice_in_dim(gall, Cp, Cp + na * SPA)
-    g_spb = jax.lax.slice_in_dim(gall, Cp + na * SPA, Cp + na * (SPA + SPB))
+    # inside the full train step (round 3). Indexing the spill sections
+    # through BlockSpec block offsets is only correct when the offsets are
+    # multiples of the block sizes — Cp // SPA silently truncates for e.g.
+    # Cp=3072 with a 2048 bucket (advisor r4, high) — so the sections are
+    # ALIGNED BY CONSTRUCTION: dummy index rows (gathering row 0, never read
+    # by any kernel block) pad each section start up to a multiple of its
+    # block size. Costs < SPA+SPB extra gathered rows; slicing the buffer
+    # instead measured 0.9 ms/step of copies at the bench shape.
+    off_a = Cp + (-Cp) % SPA
+    off_b = off_a + na * SPA + (-(off_a + na * SPA)) % SPB
+    total = off_b + na * SPB
+    all_ids = jnp.zeros((total,), jnp.int32)
+    all_ids = jax.lax.dynamic_update_slice(all_ids, graph.pi, (0,))
+    all_ids = jax.lax.dynamic_update_slice(
+        all_ids, graph.spill_a.reshape(-1), (off_a,))
+    all_ids = jax.lax.dynamic_update_slice(
+        all_ids, graph.spill_b.reshape(-1), (off_b,))
+    gall = emb_p[all_ids]                            # [total, E]
+    spa0 = off_a // SPA                              # exact by construction
+    spb0 = off_b // SPB
 
     de_t, dj_blocks, lp = pl.pallas_call(
         functools.partial(_main_kernel, K=K, SPA=SPA),
@@ -473,7 +489,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
             pl.BlockSpec((_BA, E), lambda b: (jnp.maximum(b - 1, 0), 0)),
             pl.BlockSpec((_BA, E), lambda b: (b, 0)),
             pl.BlockSpec((_BA, E), lambda b: (jnp.minimum(b + 1, na - 1), 0)),
-            pl.BlockSpec((SPA, E), lambda b: (b, 0)),
+            pl.BlockSpec((SPA, E), lambda b: (spa0 + b, 0)),
         ],
         out_specs=[
             pl.BlockSpec((E, _BA), lambda b: (0, b)),
@@ -486,13 +502,13 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
             jax.ShapeDtypeStruct((na, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(graph.lidx_a, graph.aux_a, g_win, g_win, g_win, g_spa)
+    )(graph.lidx_a, graph.aux_a, gall, gall, gall, gall)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(Gf,),
         in_specs=[
-            pl.BlockSpec((8, _BA), lambda g, blk, chp, lv: (0, chp[g])),
+            pl.BlockSpec((8, _FB), lambda g, blk, chp, lv: (0, chp[g])),
             pl.BlockSpec((_BA, E),
                          lambda g, blk, chp, lv: (jnp.maximum(blk[g] - 1, 0),
                                                   0)),
@@ -500,7 +516,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
             pl.BlockSpec((_BA, E),
                          lambda g, blk, chp, lv: (jnp.minimum(blk[g] + 1,
                                                               na - 1), 0)),
-            pl.BlockSpec((SPB, E), lambda g, blk, chp, lv: (blk[g], 0)),
+            pl.BlockSpec((SPB, E), lambda g, blk, chp, lv: (spb0 + blk[g], 0)),
         ],
         out_specs=pl.BlockSpec((1, E, _WIN),
                                lambda g, blk, chp, lv: (blk[g], 0, 0)),
@@ -511,7 +527,7 @@ def _run(emb: jnp.ndarray, graph: KnnGraph, K: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((na, E, _WIN), jnp.float32),
         interpret=interpret,
     )(graph.blk_f, graph.chp_f, graph.live_f, graph.far_aux,
-      g_win, g_win, g_win, g_spb)
+      gall, gall, gall, gall)
 
     dj_t = _band_sum(dj_blocks + djf_blocks)         # [E, Cp]
     demb_rank = (de_t + dj_t).T                      # [Cp, E]

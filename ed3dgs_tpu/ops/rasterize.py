@@ -181,6 +181,31 @@ def _expand_raster_bwd(meta, res, cot):
 _expand_raster.defvjp(_expand_raster_fwd, _expand_raster_bwd)
 
 
+@jax.custom_vjp
+def _permute_rows(x, order):
+    """x[order] for a PERMUTATION `order`, with the backward as the inverse
+    permutation gather instead of autodiff's scatter-add (a [100k, 26]
+    scatter-add measured 1.19 ms/step; the inverse-sort + staged row gather
+    is ~0.3 ms). Correct only when `order` is a bijection over rows — the
+    depth sort's argsort always is."""
+    return x[order]
+
+
+def _permute_rows_fwd(x, order):
+    return x[order], order
+
+
+def _permute_rows_bwd(order, ct):
+    # order[j] = source row of output j  =>  dx[i] = ct[inv[i]]
+    n = order.shape[0]
+    _, inv = jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1, is_stable=False)
+    return ct[inv], None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 def _pallas_forward(proj: ProjectedGaussians, tongue, bg, cfg: RasterConfig) -> RasterOutputs:
     # gather unpadded rows (lane-pad after, so transposes stay 26 wide);
     # _expand_pairs carries the custom segment-sum backward
@@ -198,7 +223,7 @@ def _pallas_forward_rows(payload, depth, valid, rect_min, rect_max,
     bins = bin_rows(depth, valid, tiles_touched, rect_min, rect_max,
                     grid_x=grid_x, grid_y=grid_y,
                     pair_capacity=cfg.pair_capacity)
-    payload_sorted = payload[bins.order]
+    payload_sorted = _permute_rows(payload, bins.order)
     num_tiles = grid_x * grid_y
     meta = (cfg.chunk, payload.shape[-1], num_tiles, grid_x, cfg.width,
             cfg.height, cfg.focal_x, cfg.focal_y, cfg.interpret)

@@ -363,7 +363,8 @@ def run_training(cfg, args):
     # graph is re-prepared with the next bucket before training continues.
     # All hosts compute identical (replicated) caches, so the bucket
     # decisions agree deterministically across processes.
-    knn_caps = {"spill_a": 512, "spill_b": 1024, "far": 1 << 19}
+    knn_caps = {"spill_a": 512, "spill_b": 768, "far": 1 << 19,
+                "_far_quiet": 0}
 
     def refresh_knn(params, aux):
         while True:
@@ -383,6 +384,23 @@ def run_training(cfg, args):
             if grew:
                 print(f"[knn] capacity overflow {ovf.tolist()}; growing "
                       f"buckets to {knn_caps}")
+        # snug the far bucket: each unused 256-pair capacity chunk costs a
+        # padding grid step every step until the next refresh; the true
+        # demand is known at build time (graph.n_far). Shrink only after 3
+        # consecutive quiet refreshes (hysteresis like train/capacity.py).
+        demand = max(int(cache.graph.n_far), int(cache.t_graph.n_far))
+        want = max(1 << 15, 1 << int(np.ceil(np.log2(max(demand, 1) * 1.25))))
+        if want < knn_caps["far"]:
+            knn_caps["_far_quiet"] += 1
+            if knn_caps["_far_quiet"] >= 3:
+                knn_caps["far"] = want
+                knn_caps["_far_quiet"] = 0
+                if not args.quiet:
+                    print(f"[knn] far bucket -> {want} "
+                          f"(demand {demand})", flush=True)
+                return refresh_knn(params, aux)
+        else:
+            knn_caps["_far_quiet"] = 0
         return shard_knn_cache(mesh, cache) if mesh is not None else cache
 
     knn_cache = refresh_knn(state.params["gaussians"], aux)

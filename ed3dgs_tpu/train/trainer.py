@@ -89,7 +89,7 @@ def _masked_coef(mask, k):
 
 def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
                      tongue_enabled: bool = False, k: int = KNN_K,
-                     spill_a: int = 512, spill_b: int = 1024,
+                     spill_a: int = 512, spill_b: int = 768,
                      far_capacity: int = 1 << 19) -> KnnCache:
     """Recompute the embedding-regularizer neighborhood graph
     (train.py:217-229) — on-device, replacing the reference's CPU Open3D
