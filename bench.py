@@ -59,7 +59,26 @@ def _scene(n=100_000, w=802, h=550):
     return means, scales, q, opac, shs, tongue, cam, args
 
 
-def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
+def policy_capacity(demand: int) -> int:
+    """The pair capacity the production driver would run this demand at:
+    tools/train.py sizes the static pair buffer with CapacityPolicy
+    (headroom * window-peak rounded up to the bucket). The bench uses the
+    same policy so its numbers are the production steady state, not a
+    hand-picked buffer size."""
+    from ed3dgs_tpu.train.capacity import CapacityPolicy
+    p = CapacityPolicy(capacity=0)
+    return p._bucket_for(demand)
+
+
+# Measured true pair demand of the fixed bench scene/camera (deterministic;
+# rasterize reports num_pairs). Forward frame: 790,267; train-step cloud
+# (sigmoid(0.1) opacities, 3NN scales): 755,767. Both land in the same
+# policy bucket.
+BENCH_PAIRS_FWD = 790_267
+BENCH_PAIRS_TRAIN = 755_767
+
+
+def build(n=100_000, w=802, h=550, pair_capacity=None):
     import jax
     import jax.numpy as jnp
 
@@ -67,10 +86,12 @@ def build(n=100_000, w=802, h=550, pair_capacity=1 << 20):
     from ed3dgs_tpu.ops.rasterize import RasterConfig, rasterize
 
     means, scales, q, opac, shs, tongue, cam, args = _scene(n, w, h)
+    if pair_capacity is None:
+        pair_capacity = policy_capacity(BENCH_PAIRS_FWD)
 
     def forward(backend):
-        # capacity sized to the workload (~790k pairs with tight rects;
-        # rasterize reports num_pairs so real pipelines can size this too)
+        # capacity sized to the workload by the production CapacityPolicy
+        # (rasterize reports num_pairs so real pipelines size this the same)
         cfg = RasterConfig(width=w, height=h, focal_x=cam.focal_x,
                            focal_y=cam.focal_y, pair_capacity=pair_capacity,
                            max_per_tile=2048, chunk=128, backend=backend)
@@ -161,7 +182,8 @@ def roofline(t_fwd, t_train, n=100_000, cap=100_352, w=802, h=550,
     @jax.jit
     def stats(means, scales, q, opac, shs):
         proj = project_gaussians(means, scales, q, opac, shs, **args)
-        bins = bin_gaussians(proj, width=w, height=h, pair_capacity=1 << 20)
+        bins = bin_gaussians(proj, width=w, height=h,
+                             pair_capacity=policy_capacity(BENCH_PAIRS_FWD))
         c = jnp.minimum(bins.tile_count, max_per_tile)
         return (jnp.sum(jnp.where(proj.valid, proj.tiles_touched, 0)),
                 jnp.sum(-(-c // chunk)), jnp.sum(c))
@@ -233,7 +255,7 @@ def roofline(t_fwd, t_train, n=100_000, cap=100_352, w=802, h=550,
 
 
 def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
-                pair_capacity=1 << 20, backend="pallas", chunk=128,
+                pair_capacity=None, backend="pallas", chunk=128,
                 batch_size=1, batch_mode="scan"):
     """One full jitted train step at the NerSemble steady-state shape:
     95k alive / 100k capacity, 802x550, SH3, deformation net 128x1, batch 1,
@@ -258,6 +280,8 @@ def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
                     rng.uniform(1.2, 3.5, n_alive)], 1).astype(np.float32)
     cols = rng.uniform(0.1, 0.9, (n_alive, 3)).astype(np.float32)
     params, aux = gm.create_from_points(pts, cols, capacity=cap)
+    if pair_capacity is None:
+        pair_capacity = policy_capacity(BENCH_PAIRS_TRAIN)
     hidden = DeformHiddenConfig(net_width=128, defor_depth=1)
     opt_cfg = OptimizationConfig()
     fov = math.radians(50.0)

@@ -25,8 +25,8 @@ def test_grows_on_approach_before_overflow():
     cap = 1 << 18
     p = CapacityPolicy(capacity=cap, window=100)
     p.start(1)
-    # demand at 90% of capacity: 1.2 * demand > capacity -> grow at a check
-    ev = drive(p, [int(0.9 * cap)] * 200)
+    # demand at 95% of capacity: grow_at (1.08) * demand > capacity -> grow
+    ev = drive(p, [int(0.95 * cap)] * 200)
     assert ev and ev[0][1] > cap
 
 
@@ -37,7 +37,7 @@ def test_shrinks_only_after_patience():
     assert ev == []
     ev = drive(p, [300_000] * 200, start=251)   # crosses 3rd+ window
     assert ev and ev[0][1] < (1 << 21)
-    assert ev[0][1] >= int(1.3 * 300_000)
+    assert ev[0][1] >= int(1.15 * 300_000)
 
 
 def test_small_configs_not_forced_up_to_bucket():
@@ -51,9 +51,9 @@ def test_small_configs_not_forced_up_to_bucket():
 def test_stable_demand_never_rejits():
     p = CapacityPolicy(capacity=1 << 20, window=100)
     p.start(1)
-    ev = drive(p, [700_000] * 1000)   # 1.2*700k < 1M < shrink target 910k->1M?
-    # bucket_for(700k) = ceil(910k / 128k) * 128k = 917504 < 1M - shrink fires
+    ev = drive(p, [700_000] * 1000)
+    # bucket_for(700k) = ceil(805k / 128k) * 128k = 917504 < 1M - shrink fires
     # after patience; verify it lands on the snug bucket and then stays
     if ev:
-        assert all(c >= int(1.3 * 700_000) for _, c in ev)
+        assert all(c >= int(1.15 * 700_000) for _, c in ev)
         assert len(ev) == 1
