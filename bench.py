@@ -256,7 +256,7 @@ def roofline(t_fwd, t_train, n=100_000, cap=100_352, w=802, h=550,
 
 def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
                 pair_capacity=None, backend="pallas", chunk=128,
-                batch_size=1, batch_mode="scan"):
+                batch_size=1, batch_mode="scan", knn_policy=True):
     """One full jitted train step at the NerSemble steady-state shape:
     95k alive / 100k capacity, 802x550, SH3, deformation net 128x1, batch 1,
     every loss active (L1, opacity-mean, embedding-KNN, temporal-TV,
@@ -272,7 +272,8 @@ def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
     from ed3dgs_tpu.models import gaussians as gm
     from ed3dgs_tpu.ops.rasterize import RasterConfig
     from ed3dgs_tpu.train.trainer import (TrainSetup, init_train_state,
-                                          make_train_step, update_knn_cache)
+                                          make_train_step, refresh_knn_cache,
+                                          update_knn_cache)
 
     rng = np.random.default_rng(0)
     pts = np.stack([rng.uniform(-1.0, 1.0, n_alive),
@@ -308,7 +309,16 @@ def build_train(n_alive=95_000, cap=100_352, w=802, h=550,
         "cam_no": jnp.arange(B, dtype=jnp.int32),
         "use_ssim": jnp.asarray(False),
     }
-    knn_cache = update_knn_cache(params, aux)
+    if knn_policy:
+        # the PRODUCTION refresh policy (growth to the coverage target +
+        # far shrink), not a hand-picked bucket set: the benched step runs
+        # the same KNN graph a real training run reaches on this cloud
+        knn_cache = refresh_knn_cache(
+            params, aux, coverage_target=opt_cfg.knn_coverage_target)
+    else:
+        # default-bucket cache without the (host-concrete) growth loop —
+        # for abstract tracing callers (tests eval_shape this builder)
+        knn_cache = update_knn_cache(params, aux)
     return raw_step, state, aux, batch, knn_cache
 
 

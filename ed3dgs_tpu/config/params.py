@@ -155,6 +155,12 @@ class OptimizationConfig:
     pair_capacity: int = 1 << 21
     raster_chunk: int = 128
     raster_backend: str = "auto"
+    # Minimum fraction of KNN-regularizer edges the Morton-windowed graph
+    # must cover; capacity buckets grow until the dropped-edge count fits
+    # the (1 - target) budget. 1.0 = exact graph (the reference's o3d_knn
+    # semantics) at whatever bucket cost the cloud demands — see
+    # train/trainer.py refresh_knn_cache and docs/performance.md round 5.
+    knn_coverage_target: float = 0.95
 
 
 @dataclass

@@ -156,6 +156,9 @@ def bin_rows(depth, valid, tiles_touched, rect_min, rect_max, *,
 
         v = (gidx << seg_bits) | (pos & mask_b)
         dv_vals = v - jnp.maximum(prev_of(v), 0)
+        # two separate [K] element scatters, deliberately: combining them
+        # into one [N, 2] row scatter was measured ~3x SLOWER (3.9 vs 1.3
+        # ms/step at N=100k — narrow row scatters run at ~39 ns/row on v5e)
         dv = jnp.zeros((K,), jnp.int32).at[pos].add(dv_vals, mode="drop")
 
         # rect word in 20-bit (tile_base << 9 | rect_w) form: the decode only

@@ -117,12 +117,27 @@ class KnnGraph(NamedTuple):
     #                          silently misreading neighbor slots
 
 
-def _morton_ranks(pts: jnp.ndarray, Cp: int):
+def _morton_ranks(pts: jnp.ndarray, Cp: int, valid: jnp.ndarray | None = None):
     """Morton (z-order) rank permutation of [C, 3] points, padded to Cp.
-    10 bits/axis; pad rows sort stably to the end."""
+    10 bits/axis; pad rows sort stably to the end.
+
+    `valid` masks rows included in the quantization bounds: callers
+    (train/trainer.py update_knn_cache) park dead capacity slots on a far
+    shell at ~1e3, and a min/max box spanning that shell collapses the real
+    cloud (extent ~5) into a handful of Morton cells — the ranks degenerate
+    to near-random order and the window kernels see ~85%% far pairs instead
+    of ~15%% (measured; this exact bug shipped in round 4). Invalid rows
+    clip to the top boundary cell, which is where dead slots belong."""
     C = pts.shape[0]
-    lo = jnp.min(pts, axis=0)
-    hi = jnp.max(pts, axis=0)
+    if valid is None:
+        lo = jnp.min(pts, axis=0)
+        hi = jnp.max(pts, axis=0)
+    else:
+        v = valid[:, None]
+        lo = jnp.min(jnp.where(v, pts, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(v, pts, -jnp.inf), axis=0)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)   # all-dead safety
+        hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
     q = jnp.clip((pts - lo) / jnp.maximum(hi - lo, 1e-12) * 1023.0, 0, 1023)
     q = q.astype(jnp.int32)
 
@@ -174,11 +189,16 @@ def _positions_in_block(blk: jnp.ndarray, key: jnp.ndarray, nb: int,
 
 def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
                       pts: Optional[jnp.ndarray] = None, *,
+                      pts_valid: Optional[jnp.ndarray] = None,
                       spill_a: int = 512, spill_b: int = 512,
                       far_capacity: Optional[int] = None) -> KnnGraph:
     """Cache-time preparation. idx/w: [C, K]; coef: [C] (already includes
     the mask and normalization, i.e. loss = Sum_ik coef_i sqrt(d2 w + eps));
-    pts: [C, 3] positions for the Morton ordering (None -> identity order).
+    pts: [C, 3] positions for the Morton ordering (None -> identity order);
+    pts_valid: [C] bool rows included in the Morton quantization bounds —
+    pass it whenever dead rows are parked on a far shell, or the shell
+    stretches the quantization box and destroys the ordering's locality
+    (see _morton_ranks).
 
     spill_a / spill_b / far_capacity must be multiples of 256; far_capacity
     None sizes the far list for the worst case (exact for any input —
@@ -211,7 +231,7 @@ def prepare_knn_graph(idx: jnp.ndarray, w: jnp.ndarray, coef: jnp.ndarray,
         pi = jnp.arange(Cp, dtype=jnp.int32)
         inv = pi
     else:
-        pi, inv = _morton_ranks(pts.astype(jnp.float32), Cp)
+        pi, inv = _morton_ranks(pts.astype(jnp.float32), Cp, pts_valid)
 
     nbr = inv[idx_pad[pi]]                       # [Cp, K] neighbor ranks
     w_r = w_pad[pi]

@@ -213,6 +213,7 @@ def run_training(cfg, args):
     from ..data.scene import Scene
     from ..models import gaussians as gm
     from ..ops.rasterize import RasterConfig
+    from ..train import trainer
     from ..train.sampling import CameraSampler
     from ..train.capacity import CapacityPolicy
     from ..train.trainer import (TrainSetup, init_train_state,
@@ -363,44 +364,13 @@ def run_training(cfg, args):
     # graph is re-prepared with the next bucket before training continues.
     # All hosts compute identical (replicated) caches, so the bucket
     # decisions agree deterministically across processes.
-    knn_caps = {"spill_a": 512, "spill_b": 768, "far": 1 << 19,
-                "_far_quiet": 0}
+    knn_caps = dict(trainer.KNN_CAPS_DEFAULT)
 
     def refresh_knn(params, aux):
-        while True:
-            cache = update_knn_cache(
-                params, aux, tongue_enabled=model.tongue_mask_loss_enabled,
-                spill_a=knn_caps["spill_a"], spill_b=knn_caps["spill_b"],
-                far_capacity=knn_caps["far"])
-            ovf = np.asarray(jax.device_get(cache.graph.overflow))
-            ovf = ovf + np.asarray(jax.device_get(cache.t_graph.overflow))
-            if not ovf.any():
-                break
-            grew = False
-            for i, name in enumerate(("spill_a", "spill_b", "far")):
-                if ovf[i] > 0:
-                    knn_caps[name] *= 2
-                    grew = True
-            if grew:
-                print(f"[knn] capacity overflow {ovf.tolist()}; growing "
-                      f"buckets to {knn_caps}")
-        # snug the far bucket: each unused 256-pair capacity chunk costs a
-        # padding grid step every step until the next refresh; the true
-        # demand is known at build time (graph.n_far). Shrink only after 3
-        # consecutive quiet refreshes (hysteresis like train/capacity.py).
-        demand = max(int(cache.graph.n_far), int(cache.t_graph.n_far))
-        want = max(1 << 15, 1 << int(np.ceil(np.log2(max(demand, 1) * 1.25))))
-        if want < knn_caps["far"]:
-            knn_caps["_far_quiet"] += 1
-            if knn_caps["_far_quiet"] >= 3:
-                knn_caps["far"] = want
-                knn_caps["_far_quiet"] = 0
-                if not args.quiet:
-                    print(f"[knn] far bucket -> {want} "
-                          f"(demand {demand})", flush=True)
-                return refresh_knn(params, aux)
-        else:
-            knn_caps["_far_quiet"] = 0
+        cache = trainer.refresh_knn_cache(
+            params, aux, knn_caps,
+            tongue_enabled=model.tongue_mask_loss_enabled,
+            coverage_target=opt.knn_coverage_target, quiet=args.quiet)
         return shard_knn_cache(mesh, cache) if mesh is not None else cache
 
     knn_cache = refresh_knn(state.params["gaussians"], aux)

@@ -130,7 +130,7 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     d2, idx = knn_op(pts, k=k)
     w = jnp.where(mask[:, None], jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
     graph = knn_loss.prepare_knn_graph(
-        idx, w, _masked_coef(mask, k), pts,
+        idx, w, _masked_coef(mask, k), pts, pts_valid=mask,
         spill_a=spill_a, spill_b=spill_b, far_capacity=far_capacity)
     if tongue_enabled:
         tmask = aux.alive & tongue
@@ -139,7 +139,7 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
         tw = jnp.where(tmask[:, None],
                        jnp.exp(-2000.0 * jnp.maximum(td2, 0.0)), 0.0)
         t_graph = knn_loss.prepare_knn_graph(
-            tidx, tw, _masked_coef(tmask, k), tpts,
+            tidx, tw, _masked_coef(tmask, k), tpts, pts_valid=tmask,
             spill_a=spill_a, spill_b=spill_b, far_capacity=far_capacity)
     else:
         t_graph = graph
@@ -147,6 +147,83 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
     graph = _pin_row_major(graph)
     t_graph = graph if same else _pin_row_major(t_graph)
     return KnnCache(graph, t_graph)
+
+
+# Default / ceiling KNN-graph capacity buckets for refresh_knn_cache. The
+# ceilings exist because a pathological cloud can demand spill/far buckets
+# past what the fused kernels can reasonably run (the pre-round-5 Morton
+# quantization bug made EVERY cloud look pathological — 85% far pairs —
+# and the growth loop walked into configs that no longer compiled); at the
+# ceiling the graph degrades deterministically (overflowing pairs
+# weight-zeroed consistently in loss and both gradient halves).
+KNN_CAPS_DEFAULT = {"spill_a": 512, "spill_b": 768, "far": 1 << 19}
+KNN_CAPS_MAX = {"spill_a": 4096, "spill_b": 8192, "far": 1 << 21}
+
+
+def refresh_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
+                      caps: dict | None = None, *,
+                      tongue_enabled: bool = False,
+                      coverage_target: float = 0.95, k: int = KNN_K,
+                      quiet: bool = True) -> KnnCache:
+    """Build the KNN cache at adaptively sized capacity buckets.
+
+    The Morton-window graph drops edges deterministically when a spill or
+    far bucket overflows. This loop grows buckets (doubling, up to
+    KNN_CAPS_MAX) until the total dropped-edge count fits the coverage
+    budget `(1 - coverage_target) * alive * k`, then shrinks an oversized
+    far bucket (power-of-2, 3-refresh hysteresis — unused far capacity
+    costs padding grid steps every train step). coverage_target=1.0
+    demands the exact graph (the reference's o3d_knn semantics,
+    train.py:217-229) at whatever bucket cost the cloud requires.
+
+    `caps` is MUTATED so callers keep bucket state across refreshes; the
+    production CLI (tools/train.py) and bench.py both build their caches
+    here, so benched steps run the same graph a real training run would."""
+    caps = caps if caps is not None else dict(KNN_CAPS_DEFAULT)
+    caps.setdefault("_far_quiet", 0)
+    edges = int(jax.device_get(jnp.sum(aux.alive))) * k
+    budget = (1.0 - coverage_target) * max(edges, 1)
+    while True:
+        cache = update_knn_cache(
+            params, aux, tongue_enabled=tongue_enabled, k=k,
+            spill_a=caps["spill_a"], spill_b=caps["spill_b"],
+            far_capacity=caps["far"])
+        ovf = np.asarray(jax.device_get(cache.graph.overflow))
+        ovf = ovf + np.asarray(jax.device_get(cache.t_graph.overflow))
+        if ovf.sum() <= budget:
+            break
+        grew = False
+        for i, name in enumerate(("spill_a", "spill_b", "far")):
+            # any bucket above its budget share must grow; while the total
+            # exceeds the budget at least one bucket exceeds budget/3
+            if ovf[i] > budget / 3 and caps[name] < KNN_CAPS_MAX[name]:
+                caps[name] *= 2
+                grew = True
+        if not grew:
+            print(f"[knn] WARNING: dropped-edge count {int(ovf.sum())} "
+                  f"exceeds the coverage budget {budget:.0f} at the bucket "
+                  f"ceiling {caps}; the KNN regularizer runs on a "
+                  f"deterministically truncated graph")
+            break
+        if not quiet:
+            print(f"[knn] overflow {ovf.tolist()} over budget "
+                  f"{budget:.0f}; growing buckets to {caps}", flush=True)
+    demand = max(int(cache.graph.n_far), int(cache.t_graph.n_far))
+    want = max(1 << 15, 1 << int(np.ceil(np.log2(max(demand, 1) * 1.25))))
+    if want < caps["far"]:
+        caps["_far_quiet"] += 1
+        if caps["_far_quiet"] >= 3:
+            caps["far"] = want
+            caps["_far_quiet"] = 0
+            if not quiet:
+                print(f"[knn] far bucket -> {want} (demand {demand})",
+                      flush=True)
+            return refresh_knn_cache(
+                params, aux, caps, tongue_enabled=tongue_enabled,
+                coverage_target=coverage_target, k=k, quiet=quiet)
+    else:
+        caps["_far_quiet"] = 0
+    return cache
 
 
 def _render_one(params, aux, dparams, setup: TrainSetup, settings,

@@ -47,7 +47,7 @@ from ed3dgs_tpu.parallel.hlo_audit import audit_compiled, summarize
 # computing it (eval_shape traces the constructors only)
 def build_values():
     return bench.build_train(w=802, h=550, pair_capacity=1 << 20,
-                             backend="xla")[1:]
+                             backend="xla", knn_policy=False)[1:]
 
 state, aux, batch, knn_cache = jax.eval_shape(build_values)
 # the step closure itself is cheap host-side construction
