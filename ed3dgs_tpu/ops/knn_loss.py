@@ -72,11 +72,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BA = 256            # ranks per block
-_FB = 512            # far pairs per schedule chunk: the far pass is grid-
+_FB = 1024           # far pairs per schedule chunk: the far pass is grid-
 #                      step-overhead bound (~0.8 us/step; 2441 steps = 1.9 ms
 #                      at bench shape with 256-pair chunks), and its matmuls
 #                      are tiny — wider chunks halve the step count for the
-#                      same MXU work
+#                      same MXU work. 512 -> 1024 measured after the round-5
+#                      Morton fix made most far chunks LIVE (n_far ~665k).
 _WIN = 3 * _BA       # centered window rows per block
 _EPS = 1e-20         # matches train/losses.py sqrt epsilon
 _BIG = 2147480000   # plain int: a module-level jnp call would

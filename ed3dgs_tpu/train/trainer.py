@@ -156,7 +156,7 @@ def update_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
 # and the growth loop walked into configs that no longer compiled); at the
 # ceiling the graph degrades deterministically (overflowing pairs
 # weight-zeroed consistently in loss and both gradient halves).
-KNN_CAPS_DEFAULT = {"spill_a": 512, "spill_b": 768, "far": 1 << 19}
+KNN_CAPS_DEFAULT = {"spill_a": 256, "spill_b": 768, "far": 1 << 19}
 KNN_CAPS_MAX = {"spill_a": 4096, "spill_b": 8192, "far": 1 << 21}
 
 
@@ -193,12 +193,20 @@ def refresh_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
         if ovf.sum() <= budget:
             break
         grew = False
-        for i, name in enumerate(("spill_a", "spill_b", "far")):
+        for i, name in enumerate(("spill_a", "spill_b")):
             # any bucket above its budget share must grow; while the total
             # exceeds the budget at least one bucket exceeds budget/3
             if ovf[i] > budget / 3 and caps[name] < KNN_CAPS_MAX[name]:
                 caps[name] *= 2
                 grew = True
+        if ovf[2] > budget / 3 and caps["far"] < KNN_CAPS_MAX["far"]:
+            # far demand is exact at build time (graph.n_far): jump straight
+            # to the snug 2^17-granular bucket instead of doubling
+            demand = max(int(cache.graph.n_far), int(cache.t_graph.n_far))
+            want = -(-int(demand * 1.25) // (1 << 17)) << 17
+            caps["far"] = min(max(want, caps["far"] + (1 << 17)),
+                              KNN_CAPS_MAX["far"])
+            grew = True
         if not grew:
             print(f"[knn] WARNING: dropped-edge count {int(ovf.sum())} "
                   f"exceeds the coverage budget {budget:.0f} at the bucket "
@@ -209,7 +217,9 @@ def refresh_knn_cache(params: gm.GaussianParams, aux: gm.GaussianAux,
             print(f"[knn] overflow {ovf.tolist()} over budget "
                   f"{budget:.0f}; growing buckets to {caps}", flush=True)
     demand = max(int(cache.graph.n_far), int(cache.t_graph.n_far))
-    want = max(1 << 15, 1 << int(np.ceil(np.log2(max(demand, 1) * 1.25))))
+    # 2^17-granular buckets (not powers of two): every unused far-capacity
+    # chunk costs a padding grid step per train step
+    want = max(1 << 15, -(-int(max(demand, 1) * 1.25) // (1 << 17)) << 17)
     if want < caps["far"]:
         caps["_far_quiet"] += 1
         if caps["_far_quiet"] >= 3:
