@@ -24,6 +24,10 @@ def main(argv=None):
     p.add_argument("--duration", type=int, default=None)
     p.add_argument("--timestep_index", type=int, default=0)
     p.add_argument("--voxel_size", type=float, default=0.002)
+    p.add_argument("--engine", choices=("sparse", "dense"), default="sparse",
+                   help="sparse = block-hashed voxel grid (reference-parity "
+                        "VoxelBlockGrid, memory ~ surface area; default); "
+                        "dense = full bounding-box grid (small scenes only)")
     p.add_argument("--alpha_thres", type=float, default=0.5)
     p.add_argument("--depth_max", type=float, default=8.0)
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE")
@@ -35,6 +39,7 @@ def main(argv=None):
     from ..config.loader import load_full_config
     from ..data.scene import Scene
     from ..mesh.tsdf import fuse_depths
+    from ..mesh.tsdf_sparse import fuse_depths_sparse
     from ..data.ply import write_mesh_ply
     from ..models.deformation import init_deform_params
     from ..ops.rasterize import RasterConfig
@@ -97,9 +102,10 @@ def main(argv=None):
         focals.append((m.focal_x, m.focal_y))
         view.release_image()
 
-    verts, faces, vcols = fuse_depths(depths, colors, wvs, focals,
-                                      voxel_size=args.voxel_size,
-                                      depth_max=args.depth_max)
+    fuse = fuse_depths_sparse if args.engine == "sparse" else fuse_depths
+    verts, faces, vcols = fuse(depths, colors, wvs, focals,
+                               voxel_size=args.voxel_size,
+                               depth_max=args.depth_max)
     out_path = os.path.join(model.model_path, "recon_tsdf.ply")
     write_mesh_ply(out_path, verts, faces, vcols)
     print(f"{len(verts)} vertices, {len(faces)} faces -> {out_path}", flush=True)

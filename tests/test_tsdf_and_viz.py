@@ -70,3 +70,45 @@ def test_gaussians_viz():
     # each ellipsoid sits near its gaussian center
     first_center = verts[:nv].mean(axis=0)
     assert np.linalg.norm(first_center - pos[opac >= 0.5][0]) < 0.05
+
+
+def test_tsdf_sparse_sphere():
+    """Sparse block-hashed fusion reconstructs the sphere like the dense path."""
+    from ed3dgs_tpu.mesh.tsdf_sparse import SparseTsdfVolume, fuse_depths_sparse
+
+    depth, f = synthetic_depth_sphere()
+    wv = np.eye(4)
+    color = np.full(depth.shape + (3,), 0.5, np.float32)
+    verts, faces, cols = fuse_depths_sparse(
+        [depth], [color], [wv], [(f, f)], voxel_size=0.03)
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts - np.array([0, 0, 2.0]), axis=1)
+    assert np.abs(np.median(r) - 0.5) < 0.08
+    assert cols.shape == (len(verts), 3)
+    # memory scales with surface area: at realistic resolution the allocated
+    # band is far smaller than the dense bounding-box grid
+    vol = SparseTsdfVolume(0.01)
+    vol.integrate(depth, color, wv, f, f)
+    dense_voxels = np.prod(np.ptp(vol.voxel_coords(), axis=0) + 1)
+    assert vol.n_blocks * 512 < 0.6 * dense_voxels
+
+
+def test_tsdf_sparse_matches_dense():
+    """Same inputs -> sparse and dense surfaces agree geometrically."""
+    from ed3dgs_tpu.mesh.tsdf_sparse import fuse_depths_sparse
+
+    depth, f = synthetic_depth_sphere()
+    wv2 = np.eye(4)
+    wv2[0, 3] = -0.1
+    depth2, _ = synthetic_depth_sphere(center=(-0.1, 0, 2.0))
+    args = ([depth, depth2], [None, None], [np.eye(4), wv2], [(f, f), (f, f)])
+    vd, fd, _ = fuse_depths(*args, voxel_size=0.03)
+    vs, fs, _ = fuse_depths_sparse(*args, voxel_size=0.03)
+    # identical voxel lattice anchored differently -> compare as point sets
+    rd = np.linalg.norm(vd - np.array([0, 0, 2.0]), axis=1)
+    rs = np.linalg.norm(vs - np.array([0, 0, 2.0]), axis=1)
+    assert abs(np.median(rd) - np.median(rs)) < 0.02
+    assert 0.5 < len(vs) / max(len(vd), 1) < 2.0
+    # every sparse vertex has a dense vertex within ~one voxel
+    d2 = np.min(np.linalg.norm(vs[:, None, :] - vd[None, :, :], axis=-1), axis=1)
+    assert np.percentile(d2, 95) < 0.06
