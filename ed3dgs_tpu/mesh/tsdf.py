@@ -5,8 +5,10 @@ median depths into an Open3D VoxelBlockGrid. This implementation is
 self-contained: a dense voxel grid (bounds from the unprojected depths),
 weighted TSDF/color integration, and surface extraction by splitting voxels
 into tetrahedra and reusing the marching-tetrahedra module with SDF
-interpolation. For the offline mesh tool a dense grid at practical voxel
-sizes is fine; voxel_size is configurable (reference default 0.002).
+interpolation. For small scenes a dense grid is fine; at the reference's
+default voxel_size=0.002 on real captures use the block-hashed
+``mesh/tsdf_sparse.py`` (the ``mesh_extract_tsdf`` CLI default), whose
+memory scales with surface area instead of bounding-box volume.
 """
 
 from __future__ import annotations
