@@ -187,3 +187,38 @@ def test_update_knn_cache_builds_consistent_graph():
     w = jnp.where(mask[:, None], jnp.exp(-2000.0 * jnp.maximum(d2, 0.0)), 0.0)
     v0 = L.embedding_knn_loss(emb, idx, w, mask=mask)
     assert float(v) == pytest.approx(float(v0), rel=1e-5)
+
+
+def test_refresh_knn_cache_coverage_policy():
+    """Production bucket policy: buckets grow until dropped edges fit the
+    coverage budget (coverage_target=1.0 demands the exact graph), and an
+    oversized far bucket shrinks to its snug 2^17-granular size only after
+    the 3-refresh hysteresis."""
+    from ed3dgs_tpu.train import trainer
+
+    rng = np.random.default_rng(3)
+    # adversarial cloud: big enough that the 768-rank Morton window cannot
+    # cover it, dense enough that many true neighbors land out-of-window
+    pts = rng.uniform(-1, 1, (7800, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (7800, 3)).astype(np.float32)
+    params, aux = gm.create_from_points(pts, cols, capacity=8192)
+
+    # the cloud's true far demand is ~3.3k out-of-window pairs; a 2048 far
+    # bucket must overflow, and exact coverage demands growth
+    caps = {"spill_a": 256, "spill_b": 256, "far": 2048}
+    cache = trainer.refresh_knn_cache(params, aux, caps,
+                                      coverage_target=1.0, k=5)
+    ovf = np.asarray(cache.graph.overflow)
+    assert ovf.sum() == 0, ovf          # exact graph demanded and delivered
+    assert caps["far"] > 2048           # far growth happened (2^17 jump)
+    assert caps["far"] <= trainer.KNN_CAPS_MAX["far"]
+    assert int(cache.graph.n_far) * 1.25 <= caps["far"]
+
+    # far-shrink hysteresis: oversized far bucket, tiny demand
+    caps2 = dict(caps, far=1 << 19, _far_quiet=0)
+    for i in range(3):
+        assert caps2["far"] == 1 << 19, (i, caps2)
+        trainer.refresh_knn_cache(params, aux, caps2,
+                                  coverage_target=1.0, k=5)
+    assert caps2["far"] == 1 << 17, caps2   # snapped to the 2^17 granule
+    assert caps2["_far_quiet"] == 0
